@@ -1,0 +1,157 @@
+"""Headline benchmark: 512px text-to-image sampling throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "512px_images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": R}
+
+The reference publishes no throughput numbers (BASELINE.md), so the baseline
+is an analytic A100 estimate: FLOPs per sampled image (published ~1.2B-param
+MMDiT, 20 Euler steps, CFG doubling, 512px -> 1024 image + 154 text tokens)
+divided by A100 bf16 peak (312 TFLOP/s) at a generous 40% end-to-end MFU —
+i.e. the throughput of a WELL-optimized A100 implementation of the reference
+model (the actual reference is "not optimized at all", README.md:149).
+vs_baseline = ours / that estimate; the BASELINE.json north star asks for
+vs_baseline >= 2.0.
+
+Flags: --res, --batch, --steps, --train (train-step bench instead of
+sampling), --dtype. Extra diagnostics go to stderr; stdout carries only the
+JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def model_flops_per_forward(cfg, img_tokens: int) -> float:
+    """Matmul FLOPs of one MMDiT forward (batch 1)."""
+    s = img_tokens + cfg.text_tokens
+    d = cfg.dim
+    hd = cfg.hidden_dim
+    per_block = (
+        # qkv+out per stream ~ combined 4 proj over full seq
+        2 * s * d * d * 4
+        # attention: QK^T and PV
+        + 2 * s * s * d * 2
+        # swiglu mlp: w12 (d->2h) + w3 (h->d), both streams over full seq
+        + 2 * s * (d * 2 * hd + hd * d)
+        # adaln/gates/y_proj (small)
+        + 2 * d * d * 7
+    )
+    embed = 2 * img_tokens * (cfg.inCh * cfg.patch_size ** 2) * d \
+        + 2 * img_tokens * d * d * 2
+    return cfg.num_blocks * per_block + embed
+
+
+def bench_sampling(args):
+    import jax
+    import jax.numpy as jnp
+    from sd3_tpu.config import published_config
+    from sd3_tpu.models.mmdit import MMDiT, init_mmdit
+    from sd3_tpu.inference.sampler import make_velocity_fn, sample_latents
+
+    cfg = published_config(stage_res=args.res).replace(dtype=args.dtype)
+    log(f"init {cfg.dim}d x {cfg.num_blocks} blocks @ {args.res}px "
+        f"dtype={args.dtype} backend={jax.default_backend()}")
+    model, params = init_mmdit(cfg, jax.random.PRNGKey(0), remat_blocks=False)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.1f}M")
+
+    b = args.batch
+    lat = args.res // 8
+    th = jnp.zeros((b, cfg.text_tokens, cfg.text_hidden_dim), jnp.float32)
+    tp = jnp.zeros((b, cfg.class_dim), jnp.float32)
+    vel = make_velocity_fn(model, params, th, tp)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.inCh, lat, lat))
+    rng = jax.random.PRNGKey(2)
+
+    run = lambda: sample_latents(vel, x, rng, args.steps, 5.0, "euler")
+    t0 = time.time()
+    out = jax.block_until_ready(run())
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        out = jax.block_until_ready(run())
+        times.append(time.time() - t0)
+    dt = min(times)
+    imgs_per_sec = b / dt
+    log(f"sample times: {[f'{t:.2f}' for t in times]} -> {imgs_per_sec:.3f} img/s")
+
+    # analytic A100 baseline
+    img_tokens = cfg.img_tokens(lat, lat)
+    flops_per_image = model_flops_per_forward(cfg, img_tokens) * 2 * args.steps
+    a100_imgs_per_sec = (312e12 * 0.40) / flops_per_image
+    log(f"flops/img: {flops_per_image/1e12:.2f} TF; "
+        f"A100@40%MFU baseline: {a100_imgs_per_sec:.3f} img/s")
+
+    # v5e MFU diagnostic (197 bf16 TFLOP/s peak)
+    mfu = flops_per_image * imgs_per_sec / 197e12
+    log(f"v5e MFU: {mfu*100:.1f}%")
+
+    return {
+        "metric": f"{args.res}px_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / a100_imgs_per_sec, 3),
+    }
+
+
+def bench_train(args):
+    import jax
+    from sd3_tpu.config import published_config
+    from sd3_tpu.training.trainer import Trainer, TrainConfig
+    from sd3_tpu.data.pipeline import synthetic_batch_iter
+
+    cfg = published_config(stage_res=args.res).replace(dtype=args.dtype)
+    tcfg = TrainConfig(batch_size=args.batch, accumulation_steps=1,
+                       total_steps=10**9, ema_update_freq=10**9,
+                       num_save_steps=10**9, log_steps=10**9,
+                       save_dir="/tmp/bench_train")
+    trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
+    it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
+    batch = trainer.shard_batch(next(it))
+    t0 = time.time()
+    jax.block_until_ready(trainer.train_step(batch)["loss"])
+    log(f"compile+first step: {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        jax.block_until_ready(trainer.train_step(batch)["loss"])
+        times.append(time.time() - t0)
+    dt = min(times)
+    img_tokens = cfg.img_tokens(args.res // 8, args.res // 8)
+    flops = model_flops_per_forward(cfg, img_tokens) * 3 * args.batch  # fwd+bwd
+    mfu = flops / dt / 197e12
+    log(f"step time {dt:.3f}s, {args.batch/dt:.2f} img/s, MFU {mfu*100:.1f}%")
+    return {
+        "metric": f"{args.res}px_train_step_seconds",
+        "value": round(dt, 4),
+        "unit": "s/step",
+        "vs_baseline": round(mfu, 4),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--train", action="store_true")
+    args = p.parse_args()
+    result = bench_train(args) if args.train else bench_sampling(args)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Host-side input pipeline.
+
+Replaces the reference's loader-GPU daemon (VAE_T5_CLIP.py:296-478: a frozen
+encoder service streaming over NCCL p2p with per-consumer sender processes).
+On TPU the host CPU decodes/collates, and the frozen encoders run as jitted
+XLA either on the same chips between steps or in a precompute pass — there is
+no device-to-device stream to manage; batches go up via device_put.
+
+Kept semantics:
+- parquet folder dataset with `image` bytes, `recaption`/`recaption_short`
+  caption columns, `bucket_size` strings (VAE_T5_CLIP.py:327, 347-351);
+- 50/50 long/short caption pick + strip; optional caption cleaning (the
+  reference defines `clean_text` with REPEATED_OPENINGS at VAE_T5_CLIP.py:91-128,
+  333-346 — unused in its live collate, so off by default here too);
+- images decoded to float32 in [-1, 1], CHW;
+- bucket sampler → every batch shape-uniform.
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import random
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from sd3_tpu.data.buckets import (RandomBucketSampler, build_bucket_indices)
+
+REPEATED_OPENINGS = [
+    ("the image showcases ", ""), ("the image portrays ", ""),
+    ("the image appears to be ", ""), ("the image is ", ""),
+    ("the image depicts ", ""), ("the image features ", ""),
+    ("the image captures ", ""), ("the image shows ", ""),
+    ("the image displays ", ""), ("the image presents ", ""),
+    ("this image showcases ", ""), ("this image portrays ", ""),
+    ("this image appears to be ", ""), ("this image is ", ""),
+    ("this image depicts ", ""), ("this image features ", ""),
+    ("this image captures ", ""), ("this image shows ", ""),
+    ("this image displays ", ""), ("this image presents ", ""),
+    ("in this picture, ", ""), ("in this artwork, ", "artwork of "),
+    ("in this illustration, ", "illustration of "),
+    ("in this depiction, ", ""), ("in this piece, ", ""),
+    ("in this image, ", ""), ("in this art piece, ", "art of "),
+    ("in this scene, ", ""), ("in the picture, ", ""),
+    ("in the artwork, ", "artwork of "),
+    ("in the illustration, ", "illustration of "),
+    ("in the depiction, ", ""), ("in the piece, ", ""),
+    ("in the image, ", ""), ("in the art piece, ", "art of "),
+    ("in the scene, ", ""),
+]
+
+
+def clean_caption(text: str, rng: random.Random | None = None) -> str:
+    """reference VAE_T5_CLIP.clean_text (VAE_T5_CLIP.py:333-346)."""
+    rng = rng or random
+    try:
+        if rng.random() < 0.5:
+            text = text.replace("A ", "").replace("An ", "")
+        for a, b in REPEATED_OPENINGS:
+            text = text.replace(a, b)
+        if text[-1] in (".", ",", "!", "?") and rng.random() < 0.5:
+            text = text[:-1].strip()
+        return text
+    except Exception:
+        return ""
+
+
+def pick_caption(row: dict, rng: random.Random | None = None) -> str:
+    """50/50 long/short caption (VAE_T5_CLIP.py:347-351)."""
+    rng = rng or random
+    key = "recaption" if rng.random() < 0.5 else "recaption_short"
+    cap = row.get(key) or row.get("recaption") or row.get("recaption_short") or ""
+    return cap.strip()
+
+
+def decode_image(img_bytes: bytes) -> np.ndarray:
+    """bytes -> float32 CHW in [-1, 1] (ToTensor then 2x-1)."""
+    from PIL import Image
+    with Image.open(io.BytesIO(img_bytes)) as im:
+        im = im.convert("RGB")
+        arr = np.asarray(im, dtype=np.float32) / 255.0
+    return np.transpose(arr, (2, 0, 1)) * 2.0 - 1.0
+
+
+class ParquetImageText:
+    """Random-access view over a parquet folder with image/caption/bucket columns."""
+
+    def __init__(self, parquet_folder: str, bucket_indices_path: str | None = None):
+        import datasets  # HF datasets: memory-mapped random row access
+        self.ds = datasets.load_dataset(
+            "parquet", data_files=f"{parquet_folder}/*.parquet", split="train")
+        self.buckets = build_bucket_indices(
+            self.ds["bucket_size"], bucket_indices_path) \
+            if "bucket_size" in self.ds.column_names else None
+
+    def __len__(self):
+        return len(self.ds)
+
+    def rows(self, indices: list[int]) -> list[dict]:
+        batch = self.ds[indices]
+        keys = list(batch.keys())
+        return [{k: batch[k][i] for k in keys} for i in range(len(indices))]
+
+
+class HostDataLoader:
+    """Threaded prefetch of shape-uniform (image, caption) batches.
+
+    Yields dicts: {"image": (B,3,H,W) f32 in [-1,1], "caption": list[str],
+    "bucket": "HxW"}. Thread-based (PIL decode releases the GIL); the C++
+    shared-memory ring (sd3_tpu/native) is the multi-process variant for
+    hosts with real core counts.
+    """
+
+    def __init__(self, dataset: ParquetImageText, batch_size: int,
+                 seed: int = 0, prefetch: int = 4, num_threads: int = 2,
+                 clean_captions: bool = False, first_n_largest: int = 1):
+        assert dataset.buckets is not None, "dataset has no bucket_size column"
+        self.ds = dataset
+        self.sampler = RandomBucketSampler(dataset.buckets, batch_size,
+                                           seed=seed,
+                                           first_n_largest=first_n_largest)
+        self.clean = clean_captions
+        self.rng = random.Random(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(num_threads)]
+        self._it = iter(self.sampler)
+        self._lock = threading.Lock()
+        for t in self._threads:
+            t.start()
+
+    def _make_batch(self):
+        with self._lock:
+            bucket, idxs = next(self._it)
+        rows = self.ds.rows(idxs)
+        imgs = np.stack([decode_image(r["image"]["bytes"]
+                                      if isinstance(r["image"], dict)
+                                      else r["image"]) for r in rows])
+        caps = []
+        for r in rows:
+            cap = pick_caption(r, self.rng)
+            if self.clean:
+                cap = clean_caption(cap, self.rng)
+            caps.append(cap)
+        return {"image": imgs, "caption": caps, "bucket": bucket}
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                batch = self._make_batch()
+            except StopIteration:
+                return
+            self._q.put(batch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        while not self._q.empty():
+            self._q.get_nowait()
+
+
+def synthetic_batch_iter(cfg, batch_size: int, accumulation_steps: int,
+                         height: int, width: int, seed: int = 0) -> Iterator[dict]:
+    """Random pre-encoded batches shaped like the trainer input — for smoke
+    tests and benchmarking without the frozen encoders."""
+    rng = np.random.default_rng(seed)
+    lat_h, lat_w = height // 8, width // 8
+    while True:
+        yield {
+            "x0": rng.standard_normal(
+                (accumulation_steps, batch_size, cfg.inCh, lat_h, lat_w),
+                dtype=np.float32),
+            "text": rng.standard_normal(
+                (accumulation_steps, batch_size, cfg.text_tokens,
+                 cfg.text_hidden_dim), dtype=np.float32),
+            "pooled": rng.standard_normal(
+                (accumulation_steps, batch_size, cfg.class_dim),
+                dtype=np.float32),
+        }

@@ -1,0 +1,186 @@
+"""The dual-stream MMDiT diffusion transformer (the reference `diff_model`).
+
+Structure (reference src/models/diff_model.py:69-346 and
+src/blocks/Transformer_Block_Dual.py:14-78):
+
+  y  = t_emb2(sinusoid(t * time_scale)) + cond_MLP(c_pooled)
+  c  = [c_proj(s1 * RMSNorm(c[:, :77])) ‖ c_proj2(s2 * RMSNorm(c[:, 77:]))]
+  x  = patch_emb(PatchEmbed(x_t))
+  for each block:
+      yb = SiLU(y_proj(y))
+      x', c' = JointAttention(AdaLN(x, yb), AdaLN(c, yb))
+      x += x' * scale1_x(yb);  c += c' * scale1_c(yb)        (c skipped if last)
+      x += MLP(AdaLN(x, yb)) * scale2_x(yb);  c likewise
+  out = unpatchify(out_proj(AdaLN(x, y)))
+
+Notes kept from the reference:
+- the residual chaining deliberately deviates from the SD3 paper's diagram
+  (reference README.md:326);
+- null conditioning is *zeroing* of the pooled / Gemma-half / BERT-half
+  embeddings with independent per-sample masks (diff_model.py:278-287);
+- the learnable per-encoder scalars (init 0.01) and RMSNorms tame Gemma's
+  activation variance (diff_model.py:164-172, README.md:324);
+- the final AdaLN uses the *unprojected* y (out_norm gets y, not y_proj(y)).
+
+Gradient checkpointing: `remat_blocks=True` wraps each block in
+`nn.remat` (policy: save nothing), the TPU analog of the per-block
+torch.utils.checkpoint flags (Transformer_Block_Dual.py:60-76).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from sd3_tpu.config import MMDiTConfig
+from sd3_tpu.ops.norms import AdaLNorm, RMSNorm
+from sd3_tpu.ops.mlp import MLP
+from sd3_tpu.ops.time_embed import TimestepEmbedding
+from sd3_tpu.ops.patch import PatchEmbed, unpatchify
+from sd3_tpu.ops.attention import JointAttention
+
+
+class DualStreamBlock(nn.Module):
+    """One MMDiT block (reference Transformer_Block_Dual.py)."""
+
+    cfg: MMDiTConfig
+    layer_idx: int
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, x, c, y, hw):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        dim = cfg.dim
+
+        # y input projection: Linear + SiLU (applied once per block).
+        y = nn.Dense(dim, use_bias=True, name="y_proj", dtype=dtype,
+                     param_dtype=jnp.float32)(y)
+        y = jax.nn.silu(y)
+
+        norm = lambda name: AdaLNorm(dim, dim, name=name, dtype=dtype)
+        gate = lambda name: nn.Dense(dim, use_bias=False, name=name, dtype=dtype,
+                                     param_dtype=jnp.float32)
+
+        attn = JointAttention(
+            dim=dim, num_heads=cfg.num_heads, attn_type=cfg.attn_type,
+            causal=False, positional_encoding=cfg.positional_encoding,
+            rope_scale=cfg.rope_scale, kv_merge_attn=cfg.kv_merge_attn,
+            qk_half_dim=cfg.qk_half_dim, layer_idx=self.layer_idx, dual=True,
+            last=self.last, rope2d_interpolate=cfg.rope2d_interpolate,
+            dtype=dtype, name="attn")
+
+        x_a, c_a = attn(norm("norm1_x")(x, y), norm("norm1_c")(c, y), hw)
+        x = x_a * gate("scale1_x")(y)[:, None, :] + x
+        if not self.last:
+            c = c_a * gate("scale1_c")(y)[:, None, :] + c
+
+        mlp = lambda name: MLP(dim, cfg.hidden_scale, act=cfg.MLP_type,
+                               dtype=dtype, name=name)
+        x = mlp("MLP_x")(norm("norm2_x")(x, y)) * gate("scale2_x")(y)[:, None, :] + x
+        if not self.last:
+            c = mlp("MLP_c")(norm("norm2_c")(c, y)) * gate("scale2_c")(y)[:, None, :] + c
+        return x, c
+
+
+class MMDiT(nn.Module):
+    """The full diffusion transformer. Input latents are NCHW like the
+    reference; internally everything is (B, N, D) tokens."""
+
+    cfg: MMDiTConfig
+    remat_blocks: bool = True
+
+    @nn.compact
+    def __call__(self, x_t, t, c, c_pooled,
+                 null_pooled=None, null_gemma=None, null_bert=None):
+        """
+        x_t:      (B, inCh, H, W) noised latents
+        t:        (B,) flow time in [0, 1]
+        c:        (B, 2*T, text_hidden_dim) concatenated Gemma‖BERT hiddens
+        c_pooled: (B, class_dim) pooled CLIP embedding
+        null_*:   optional (B,) bool masks — True zeroes that conditioning
+        returns   (B, inCh, H, W) velocity prediction
+                  (+ (B, 2*T, text_hidden_dim) text recon if cfg.text_loss)
+        """
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        b, ch, h, w = x_t.shape
+        tt = cfg.text_tokens_per_encoder
+
+        # Null-conditioning masks: zero the embeddings (diff_model.py:278-287).
+        if null_pooled is not None:
+            c_pooled = jnp.where(null_pooled[:, None], 0.0, c_pooled)
+        if null_gemma is not None:
+            c = c.at[:, :tt].multiply(
+                jnp.where(null_gemma[:, None, None], 0.0, 1.0))
+        if null_bert is not None:
+            c = c.at[:, tt:].multiply(
+                jnp.where(null_bert[:, None, None], 0.0, 1.0))
+
+        # Timestep + pooled conditioning -> modulation vector y.
+        t_vec = TimestepEmbedding(cfg.dim, dtype=dtype, name="t_emb")(t)
+        pooled = nn.Dense(cfg.dim, use_bias=False, name="cond_MLP",
+                          dtype=dtype, param_dtype=jnp.float32)(
+                              c_pooled.astype(dtype))
+        y = t_vec.astype(dtype) + pooled
+
+        # Text pre-net: per-encoder RMSNorm * learnable scalar -> projection.
+        s1 = self.param("learnable_scalar", nn.initializers.constant(0.01),
+                        (1,), jnp.float32)
+        s2 = self.param("learnable_scalar2", nn.initializers.constant(0.01),
+                        (1,), jnp.float32)
+        thd = cfg.text_hidden_dim
+        c1 = RMSNorm(thd, name="pre_c_norm")(c[:, :tt].astype(dtype))
+        c2 = RMSNorm(thd, name="pre_c_norm2")(c[:, tt:].astype(dtype))
+        c1 = nn.Dense(cfg.dim, use_bias=False, name="c_proj", dtype=dtype,
+                      param_dtype=jnp.float32)(s1.astype(dtype) * c1)
+        c2 = nn.Dense(cfg.dim, use_bias=False, name="c_proj2", dtype=dtype,
+                      param_dtype=jnp.float32)(s2.astype(dtype) * c2)
+        c_tok = jnp.concatenate([c1, c2], axis=1)
+
+        # Patchify + embed.
+        x = PatchEmbed(
+            patch_size=cfg.patch_size, in_channels=ch, embed_dim=cfg.dim,
+            bias=False, pos_embed_type=cfg.positional_encoding,
+            pos_embed_max_size=256, base_size=128, dtype=dtype,
+            name="pos_enc")(x_t.astype(dtype))
+        x = nn.Dense(cfg.dim, use_bias=True, name="patch_emb", dtype=dtype,
+                     param_dtype=jnp.float32)(x)
+
+        hw = (h // cfg.patch_size, w // cfg.patch_size)
+        block_cls = DualStreamBlock
+        if self.remat_blocks:
+            block_cls = nn.remat(DualStreamBlock, static_argnums=(4,),
+                                 prevent_cse=False)
+        for i in range(cfg.num_blocks):
+            last = (i == cfg.num_blocks - 1) and not cfg.text_loss
+            x, c_tok = block_cls(cfg, i, last, name=f"blocks_{i}")(
+                x, c_tok, y, hw)
+
+        x = AdaLNorm(cfg.dim, cfg.dim, name="out_norm", dtype=dtype)(x, y)
+        x = nn.Dense(ch * cfg.patch_size ** 2, use_bias=True, name="out_proj",
+                     dtype=dtype, param_dtype=jnp.float32)(x)
+        out = unpatchify(x, (cfg.patch_size, cfg.patch_size), (h, w))
+        out = out.astype(jnp.float32)
+
+        if cfg.text_loss:
+            txt = nn.Dense(thd, use_bias=True, name="out_text_proj",
+                           dtype=dtype, param_dtype=jnp.float32)(c_tok)
+            return out, txt.astype(jnp.float32)
+        return out
+
+
+def init_mmdit(cfg: MMDiTConfig, rng: jax.Array, height: int | None = None,
+               width: int | None = None, remat_blocks: bool = True):
+    """Initialize an MMDiT and return (module, params)."""
+    model = MMDiT(cfg, remat_blocks=remat_blocks)
+    h = height or (cfg.max_res // 8)
+    w = width or (cfg.max_res // 8)
+    b = 1
+    x = jnp.zeros((b, cfg.inCh, h, w), jnp.float32)
+    t = jnp.zeros((b,), jnp.float32)
+    c = jnp.zeros((b, cfg.text_tokens, cfg.text_hidden_dim), jnp.float32)
+    cp = jnp.zeros((b, cfg.class_dim), jnp.float32)
+    params = model.init(rng, x, t, c, cp)
+    return model, params["params"]

@@ -1,0 +1,254 @@
+"""Joint dual-stream attention (the MMDiT core mixing op).
+
+Semantics follow reference src/blocks/Attention.py:15-427:
+- separate bias-free q/k/v/out projections per stream (image "x", text "c");
+- for softmax attention types, per-head RMSNorm on q and k (per stream);
+- RoPE applied to the IMAGE tokens only ("No positional encoding for the
+  text", Attention.py:240), with the variant selected by positional_encoding;
+- optional experiments: kv_merge_attn (pairwise k/v averaging, halves KV
+  length), qk_half_dim (q/k projected to dim/2), attn_type="both" (softmax on
+  even layers, cosine on odd — Attention.py:30-31), and 8 linear/cosine
+  attention variants;
+- streams concatenated along the sequence, attention computed jointly, then
+  split back; the `last` block has no text out-projection (Attention.py:44-45).
+
+The softmax score scale is head_dim(v) ** -0.5 — the *value* head dim, even
+when qk_half_dim shrinks q/k (reference Attention.py:57, a quirk we keep).
+
+Backends: `softmax` runs as plain XLA einsum attention (logits fp32 on MXU);
+`softmax_flash` dispatches to the Pallas flash kernel
+(sd3_tpu/ops/flash_attention.py). Both are numerically the same op.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from sd3_tpu.ops.norms import RMSNorm
+from sd3_tpu.ops import rope as rope_lib
+from sd3_tpu.ops.flash_attention import flash_attention
+
+SOFTMAX_TYPES = ("softmax", "softmax_flash")
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    # torch.nn.functional.normalize semantics: x / max(||x||, eps)
+    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def _softmax_attention(q, k, v, scale, causal, use_flash):
+    """q,k: (B,H,N,dqk); v: (B,H,M,dv) -> (B,H,N,dv). fp32 logits/softmax."""
+    if use_flash and not causal:
+        return flash_attention(q, k, v, scale)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        n, m = logits.shape[-2:]
+        mask = jnp.tril(jnp.ones((n, m), bool))
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _linear_attention_core(q, k, v):
+    """attn = (q @ (k^T v)) / (q @ k^T.sum(-1)) — reference Attention.py:388-405."""
+    kv = jnp.einsum("bhmd,bhme->bhde", k, v, preferred_element_type=jnp.float32)
+    num = jnp.einsum("bhnd,bhde->bhne", q, kv, preferred_element_type=jnp.float32)
+    ksum = jnp.sum(k.astype(jnp.float32), axis=-2)  # (B,H,d)
+    den = jnp.einsum("bhnd,bhd->bhn", q.astype(jnp.float32), ksum)[..., None]
+    return (num / den).astype(v.dtype)
+
+
+def attention_core(q, k, v, attn_type, scale, causal=False, norm_const=None,
+                   use_flash=False):
+    """Dispatch over the reference's attention variants on (B,H,N,D) tensors."""
+    if attn_type in SOFTMAX_TYPES:
+        return _softmax_attention(q, k, v, scale,
+                                  causal=causal,
+                                  use_flash=(attn_type == "softmax_flash") or use_flash)
+
+    f32 = jnp.float32
+    if attn_type == "cosine":
+        # reference Attention.py:296-328 (q,k already L2-normalized upstream)
+        if causal:
+            n, m = q.shape[-2], k.shape[-2]
+            mask = jnp.tril(jnp.ones((n, m), f32))
+            counts = jnp.sum(mask, axis=-1, keepdims=True)  # (n,1)
+            p = jax.nn.sigmoid(norm_const.astype(f32))       # (1,H,1,1)
+            vn = v / jnp.maximum(counts[None, None] ** p, 1.0).astype(v.dtype)
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32) * mask
+            return jnp.einsum("bhnm,bhmd->bhnd", s.astype(v.dtype), vn,
+                              preferred_element_type=f32).astype(v.dtype)
+        p = jax.nn.sigmoid(norm_const.astype(f32))
+        vn = (v.astype(f32) / (v.shape[-2] ** p)).astype(v.dtype)
+        kv = jnp.einsum("bhmd,bhme->bhde", k, vn, preferred_element_type=f32)
+        return jnp.einsum("bhnd,bhde->bhne", q, kv,
+                          preferred_element_type=f32).astype(v.dtype)
+    if attn_type == "cosine2":
+        prod = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32) + 1.0
+        attn = prod / jnp.sum(prod, axis=-1, keepdims=True)
+        return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                          preferred_element_type=f32).astype(v.dtype)
+    if attn_type == "cosine3":
+        prod = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32)
+        if causal:
+            n, m = prod.shape[-2:]
+            prod = prod * jnp.tril(jnp.ones((n, m), f32))
+        attn = prod / jnp.sum(jnp.abs(prod), axis=-1, keepdims=True)
+        return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                          preferred_element_type=f32).astype(v.dtype)
+    if attn_type == "cosine4":
+        d = q.shape[-1]
+        sc = 1.0 / (d ** 0.5)
+        qn = jnp.linalg.norm(q.astype(f32), axis=-1, keepdims=True)
+        kn = jnp.linalg.norm(k.astype(f32), axis=-1, keepdims=True)
+        attn = (jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32) * sc
+                + (qn * jnp.swapaxes(kn, -1, -2)) * sc)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                          preferred_element_type=f32).astype(v.dtype)
+    if attn_type == "cosine_norm":
+        qn = jnp.linalg.norm(q.astype(f32), axis=-1, keepdims=True)
+        kn = jnp.linalg.norm(k.astype(f32), axis=-1, keepdims=True)
+        w = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32)
+        den = qn * jnp.sum(kn, axis=-2, keepdims=True)  # (B,H,N,1)
+        w = w / den
+        return jnp.einsum("bhnm,bhmd->bhnd", w.astype(v.dtype), v,
+                          preferred_element_type=f32).astype(v.dtype)
+    if attn_type == "relu":
+        return _linear_attention_core(jax.nn.relu(q), jax.nn.relu(k), v)
+    if attn_type == "silu":
+        return _linear_attention_core(jax.nn.silu(q), jax.nn.silu(k), v)
+    if attn_type == "exp":
+        return _linear_attention_core(jnp.exp(q), jnp.exp(k), v)
+    raise ValueError(f"unknown attn_type {attn_type}")
+
+
+class JointAttention(nn.Module):
+    """Dual-stream joint attention (or single-stream when dual=False)."""
+
+    dim: int
+    num_heads: int = 8
+    attn_type: str = "softmax"
+    causal: bool = False
+    positional_encoding: str = "absolute"
+    rope_scale: float = 1.0            # RoPE_Scale = max_res_orig / max_res
+    kv_merge_attn: bool = False
+    qk_half_dim: bool = False
+    layer_idx: int | None = None
+    dual: bool = True
+    last: bool = False
+    rope2d_interpolate: bool = False   # see MMDiTConfig.rope2d_interpolate
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _resolved_attn_type(self) -> str:
+        if self.attn_type == "both":
+            return "softmax" if (self.layer_idx or 0) % 2 == 0 else "cosine"
+        return self.attn_type
+
+    def _dense(self, feats, name):
+        return nn.Dense(feats, use_bias=False, name=name,
+                        dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def _apply_rope(self, t, hw):
+        """Apply the configured RoPE variant to image-token q or k."""
+        pe = self.positional_encoding
+        interp = 1.0 / self.rope_scale  # interpolate_factor (reference :95-98)
+        if pe == "RoPE":
+            return rope_lib.apply_rope1d(t, interpolate_factor=interp)
+        if pe == "RoPE2d":
+            h, w = hw
+            factor = interp if self.rope2d_interpolate else 1.0
+            return rope_lib.apply_rope2d(t, h, w, interpolate_factor=factor)
+        if pe == "RoPE2dV2":
+            h, w = hw
+            return rope_lib.apply_rope2dv2(t, h, w, interpolate_factor=interp)
+        return t  # absolute / NoPE: nothing at the attention level
+
+    @nn.compact
+    def __call__(self, x, c=None, hw: tuple[int, int] | None = None):
+        """x: (B, N, dim) image tokens; c: (B, M, dim) text tokens (dual).
+
+        hw: token-grid (height, width) with h*w == N — required for 2-D RoPE.
+        Returns (x_out, c_out) when dual (c_out un-projected if last), else x_out.
+        """
+        attn_type = self._resolved_attn_type()
+        softmax = attn_type in SOFTMAX_TYPES
+        b, n, _ = x.shape
+        nh = self.num_heads
+        dim_qk = self.dim // 2 if self.qk_half_dim else self.dim
+        hd_qk = dim_qk // nh
+        hd_v = self.dim // nh
+        scale = hd_v ** -0.5  # value head dim, reference Attention.py:57
+
+        def heads(t, hd):
+            return t.reshape(b, t.shape[1], nh, hd).transpose(0, 2, 1, 3)
+
+        def unheads(t):
+            return t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], -1)
+
+        if self.dual:
+            assert c is not None
+            m = c.shape[1]
+            q_x = heads(self._dense(dim_qk, "query_proj_x")(x), hd_qk)
+            k_x = heads(self._dense(dim_qk, "key_proj_x")(x), hd_qk)
+            v_x = heads(self._dense(self.dim, "value_proj_x")(x), hd_v)
+            q_c = heads(self._dense(dim_qk, "query_proj_c")(c), hd_qk)
+            k_c = heads(self._dense(dim_qk, "key_proj_c")(c), hd_qk)
+            v_c = heads(self._dense(self.dim, "value_proj_c")(c), hd_v)
+            if softmax:
+                q_x = RMSNorm(hd_qk, name="q_norm_x", param_dtype=self.param_dtype)(q_x)
+                k_x = RMSNorm(hd_qk, name="k_norm_x", param_dtype=self.param_dtype)(k_x)
+                q_c = RMSNorm(hd_qk, name="q_norm_c", param_dtype=self.param_dtype)(q_c)
+                k_c = RMSNorm(hd_qk, name="k_norm_c", param_dtype=self.param_dtype)(k_c)
+            if attn_type in ("cosine", "cosine2"):
+                q_x, k_x = _l2_normalize(q_x), _l2_normalize(k_x)
+                q_c, k_c = _l2_normalize(q_c), _l2_normalize(k_c)
+            # RoPE on the image stream only.
+            q_x = self._apply_rope(q_x, hw)
+            k_x = self._apply_rope(k_x, hw)
+            if self.kv_merge_attn:
+                k_x = (k_x[:, :, ::2] + k_x[:, :, 1::2]) / 2
+                v_x = (v_x[:, :, ::2] + v_x[:, :, 1::2]) / 2
+                k_c = (k_c[:, :, ::2] + k_c[:, :, 1::2]) / 2
+                v_c = (v_c[:, :, ::2] + v_c[:, :, 1::2]) / 2
+            q = jnp.concatenate([q_x, q_c], axis=2)
+            k = jnp.concatenate([k_x, k_c], axis=2)
+            v = jnp.concatenate([v_x, v_c], axis=2)
+        else:
+            q = heads(self._dense(dim_qk, "query_proj")(x), hd_qk)
+            k = heads(self._dense(dim_qk, "key_proj")(x), hd_qk)
+            v = heads(self._dense(self.dim, "value_proj")(x), hd_v)
+            if softmax:
+                q = RMSNorm(hd_qk, name="q_norm", param_dtype=self.param_dtype)(q)
+                k = RMSNorm(hd_qk, name="k_norm", param_dtype=self.param_dtype)(k)
+            if attn_type in ("cosine", "cosine2"):
+                q, k = _l2_normalize(q), _l2_normalize(k)
+            q = self._apply_rope(q, hw)
+            k = self._apply_rope(k, hw)
+            if self.kv_merge_attn:
+                k = (k[:, :, ::2] + k[:, :, 1::2]) / 2
+                v = (v[:, :, ::2] + v[:, :, 1::2]) / 2
+
+        norm_const = None
+        if attn_type == "cosine":
+            norm_const = self.param("norm_const", nn.initializers.constant(0.5),
+                                    (1, nh, 1, 1), self.param_dtype)
+
+        attn = attention_core(
+            q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
+            attn_type, scale, causal=self.causal, norm_const=norm_const)
+
+        if self.dual:
+            attn_x, attn_c = attn[:, :, :n], attn[:, :, n:]
+            out_x = self._dense(self.dim, "out_proj_x")(unheads(attn_x))
+            out_c = unheads(attn_c)
+            if not self.last:
+                out_c = self._dense(self.dim, "out_proj_c")(out_c)
+            return out_x, out_c
+        return self._dense(self.dim, "out_proj")(unheads(attn))

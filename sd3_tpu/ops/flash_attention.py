@@ -1,0 +1,285 @@
+"""Pallas TPU flash attention for the joint image+text ("dual-stream") sequence.
+
+Replaces the reference's flash-attn CUDA dependency (reference
+src/blocks/Attention.py:5,287-293) with a TPU-native kernel:
+
+- forward: online-softmax flash over K/V blocks held in VMEM; logits are
+  computed on the MXU in the input dtype (bf16-native) accumulating to fp32;
+  softmax statistics in fp32; probabilities cast back for the P·V matmul.
+- backward: custom VJP with the standard two-kernel split (dq over Q blocks;
+  dk/dv over K blocks), recomputing P from the saved logsumexp.
+
+Non-causal only — the joint [image ‖ text] attention of the MMDiT is fully
+bidirectional (the reference's live path uses causal=False). Sequence lengths
+that are not block multiples are zero-padded by the wrapper; padded key
+columns are masked with -inf (statically, only on the final partial block) and
+padded query rows are sliced off the output.
+
+Layout notes (mosaic tiling rules: last two block dims must be divisible by
+(8, 128) or equal the array dims):
+- head dim is zero-padded to a multiple of 128 (lane width) in the wrapper;
+- the logsumexp residual is stored as (G, N, 8): 8 broadcast sublanes make the
+  block (1, block_q, 8) legal while costing 8 floats/row (jax's reference
+  kernel uses 128 lanes; 8 is sufficient and 16x smaller).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+LSE_LANES = 8
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _kv_mask(j, block_k, kv_len, bq):
+    """Static/partial -inf mask for the k-block starting at j*block_k."""
+    start = j * block_k
+    if start + block_k <= kv_len:
+        return None
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + start
+    return jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _dot(a, b, trans_b=False):
+    # Pin the precision per-dot: a global jax_default_matmul_precision of
+    # HIGHEST promotes bf16 dots to multi-pass algorithms Mosaic can't lower
+    # ("Bad lhs type"); bf16 wants the native MXU path, f32 wants HIGHEST.
+    dims = (((1,), (1,)), ((), ())) if trans_b else (((1,), (0,)), ((), ()))
+    prec = (jax.lax.Precision.HIGHEST if a.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0]
+
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    for j in range(k_ref.shape[1] // block_k):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = _dot(q, k, trans_b=True) * scale          # fp32 (bq, bk)
+        mask = _kv_mask(j, block_k, kv_len, bq)
+        if mask is not None:
+            s = s + mask
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + _dot(p.astype(v.dtype), v)
+        m = m_new
+
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, LSE_LANES))
+
+
+def _fwd(q, k, v, scale, block_q, block_k, kv_len):
+    """q: (G, N, D), k/v: (G, M, D) — already padded to block/lane multiples."""
+    g, n, d = q.shape
+    m_len = k.shape[1]
+    kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                               kv_len=kv_len)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(g, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda gi, qi: (gi, qi, 0)),
+            pl.BlockSpec((1, m_len, d), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((1, m_len, d), lambda gi, qi: (gi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda gi, qi: (gi, qi, 0)),
+            pl.BlockSpec((1, block_q, LSE_LANES), lambda gi, qi: (gi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n, d), q.dtype),
+            jax.ShapeDtypeStruct((g, n, LSE_LANES), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(q, k, v)
+    return out, lse
+
+
+# ----------------------------------------------------------------------------
+# Backward
+# ----------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+               scale, block_k, kv_len):
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+
+    dq = jnp.zeros((bq, d), jnp.float32)
+    for j in range(k_ref.shape[1] // block_k):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = _dot(q, k, trans_b=True) * scale
+        mask = _kv_mask(j, block_k, kv_len, bq)
+        if mask is not None:
+            s = s + mask
+        p = jnp.exp(s - lse)
+        dp = _dot(do, v, trans_b=True)
+        ds = (p * (dp - delta)).astype(k.dtype)
+        dq = dq + _dot(ds, k)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, block_q, kv_len):
+    bk, d = k_ref.shape[1], k_ref.shape[2]
+    k = k_ref[0]
+    v = v_ref[0]
+    j = pl.program_id(1)
+
+    # Zero out padded key rows of this block (dynamic — program_id based).
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + j * bk
+    row_ok = (row < kv_len).astype(jnp.float32)
+
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+    for i in range(q_ref.shape[1] // block_q):
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        s = _dot(q, k, trans_b=True) * scale           # (bq, bk)
+        p = jnp.exp(s - lse) * row_ok
+        pt = p.astype(do.dtype)
+        prec = (jax.lax.Precision.HIGHEST if do.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        dv = dv + jax.lax.dot_general(          # pᵀ · dO
+            pt, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dp = _dot(do, v, trans_b=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(scale, block_q, block_k, kv_len, res, g_out):
+    q, k, v, out, lse = res
+    gdim, n, d = q.shape
+    m_len = k.shape[1]
+    do = g_out
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (gdim, n, LSE_LANES))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=kv_len),
+        grid=(gdim, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda gi, qi: (gi, qi, 0)),
+            pl.BlockSpec((1, m_len, d), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((1, m_len, d), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda gi, qi: (gi, qi, 0)),
+            pl.BlockSpec((1, block_q, LSE_LANES), lambda gi, qi: (gi, qi, 0)),
+            pl.BlockSpec((1, block_q, LSE_LANES), lambda gi, qi: (gi, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda gi, qi: (gi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((gdim, n, d), q.dtype),
+        interpret=_use_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
+                          kv_len=kv_len),
+        grid=(gdim, m_len // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda gi, ki: (gi, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda gi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda gi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, n, d), lambda gi, ki: (gi, 0, 0)),
+            pl.BlockSpec((1, n, LSE_LANES), lambda gi, ki: (gi, 0, 0)),
+            pl.BlockSpec((1, n, LSE_LANES), lambda gi, ki: (gi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda gi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda gi, ki: (gi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gdim, m_len, d), k.dtype),
+            jax.ShapeDtypeStruct((gdim, m_len, d), v.dtype),
+        ],
+        interpret=_use_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ----------------------------------------------------------------------------
+# Public entry
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_padded(q, k, v, scale, block_q, block_k, kv_len):
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, kv_len)
+    return out
+
+
+def _flash_padded_fwd(q, k, v, scale, block_q, block_k, kv_len):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, kv_len)
+    return out, (q, k, v, out, lse)
+
+
+_flash_padded.defvjp(_flash_padded_fwd, _bwd)
+
+
+def _use_interpret() -> bool:
+    """Interpret pallas on non-TPU backends so CPU tests run the same code."""
+    return jax.default_backend() != "tpu"
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+    """Non-causal multi-head attention, softmax(q k^T * scale) v.
+
+    q: (B, H, N, D); k, v: (B, H, M, D). Returns (B, H, N, D).
+    Arbitrary N/M/D — padding to TPU-friendly shapes is handled here.
+    """
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    assert k.shape == (b, h, m, d) and v.shape == (b, h, m, d)
+
+    block_q = min(block_q, _round_up(n, 128))
+    block_k = min(block_k, _round_up(m, 128))
+    n_pad = _round_up(n, block_q)
+    m_pad = _round_up(m, block_k)
+    d_pad = _round_up(d, 128)
+
+    qp = jnp.pad(q.reshape(b * h, n, d), ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+    kp = jnp.pad(k.reshape(b * h, m, d), ((0, 0), (0, m_pad - m), (0, d_pad - d)))
+    vp = jnp.pad(v.reshape(b * h, m, d), ((0, 0), (0, m_pad - m), (0, d_pad - d)))
+
+    out = _flash_padded(qp, kp, vp, float(scale), block_q, block_k, m)
+    return out[:, :n, :d].reshape(b, h, n, d)

@@ -1,0 +1,75 @@
+"""Feed-forward blocks: SwiGLU (packed, xformers-compatible) and GELU MLP.
+
+reference MLP.py:7-40 and xformers.ops.swiglu_op.SwiGLU: the reference uses the
+xformers fused CUDA SwiGLU with packed w12 (in -> 2*hidden, bias=True) and w3
+(hidden -> out, bias=True), computing `w3(silu(x1) * x2)` where (x1, x2) are
+the two halves of w12(x). On TPU this is left to XLA fusion: the two matmuls
+are MXU-bound and the silu/multiply epilogue fuses into them, so a handwritten
+kernel would only re-derive what the compiler already does.
+
+The GELU path uses exact (erf) GELU — torch.nn.functional.gelu's default —
+with biased lin_up/lin_down (reference MLP.py:20-23).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class SwiGLU(nn.Module):
+    """Packed SwiGLU: y = w3(silu(w12(x)[..., :h]) * w12(x)[..., h:])."""
+
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x12 = nn.Dense(2 * self.hidden, use_bias=True, name="w12",
+                       dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        h = jax.nn.silu(x1) * x2
+        return nn.Dense(self.dim, use_bias=True, name="w3",
+                        dtype=self.dtype, param_dtype=self.param_dtype)(h)
+
+
+class MLP(nn.Module):
+    """MLP dispatcher matching reference MLP.py semantics.
+
+    act='swiglu' wraps SwiGLU under a scope named "MLP" so parameter trees
+    mirror the reference state-dict layout (`MLP_x.MLP.w12...`); 'swiglu_old'
+    is the same math but scoped flat (`MLP_x.w12...`) for old checkpoints
+    (reference Transformer_Block_Dual.py:31-34); 'gelu' is a plain 2-layer MLP.
+    """
+
+    dim: int
+    hidden_scale: float = 4.0
+    act: str = "swiglu"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.hidden_scale)
+        if self.act == "swiglu":
+            return SwiGLU(self.dim, hidden, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="MLP")(x)
+        elif self.act == "swiglu_old":
+            # Same math; parameters live directly in this scope.
+            x12 = nn.Dense(2 * hidden, use_bias=True, name="w12",
+                           dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+            h = jax.nn.silu(x1) * x2
+            return nn.Dense(self.dim, use_bias=True, name="w3",
+                            dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        elif self.act == "gelu":
+            h = nn.Dense(hidden, use_bias=True, name="lin_up",
+                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            h = jax.nn.gelu(h, approximate=False)
+            return nn.Dense(self.dim, use_bias=True, name="lin_down",
+                            dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        else:
+            raise ValueError(f"unknown MLP act: {self.act}")

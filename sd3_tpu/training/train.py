@@ -1,0 +1,110 @@
+"""Training CLI (the reference src/train.py equivalent, but with flags).
+
+Modes:
+  --synthetic           train on random pre-encoded batches (smoke/bench)
+  --data_parquet_folder train on a parquet dataset; images/captions are
+                        encoded by the frozen-encoder suite on device
+                        (stub encoders unless SD3_ENCODER_WEIGHTS is set)
+
+Published stage hyperparameters (reference train.py:9-80 / README.md:209-291):
+  stage1: 256px  batch 140/chip-equivalent  acc 2
+  stage2: 512px  batch 40                   acc 2
+  stage3: 1024px batch 13                   acc 2
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=["tiny", "published"], default="tiny")
+    p.add_argument("--stage_res", type=int, default=256)
+    p.add_argument("--batchSize", type=int, default=8)
+    p.add_argument("--accumulation_steps", type=int, default=2)
+    p.add_argument("--totalSteps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--use_lr_scheduler", action="store_true")
+    p.add_argument("--ema_update_freq", type=int, default=100)
+    p.add_argument("--ema_decay", type=float, default=0.99)
+    p.add_argument("--null_prob_pooled", type=float, default=0.1)
+    p.add_argument("--null_prob_gemma", type=float, default=0.316)
+    p.add_argument("--null_prob_bert", type=float, default=0.316)
+    p.add_argument("--text_loss_weight", type=float, default=0.0)
+    p.add_argument("--numSaveSteps", type=int, default=1000)
+    p.add_argument("--saveDir", default="checkpoints/run")
+    p.add_argument("--loadDir", default=None)
+    p.add_argument("--loadStep", type=int, default=None)
+    p.add_argument("--log_steps", type=int, default=10)
+    p.add_argument("--wandb_name", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    # data
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data_parquet_folder", default=None)
+    p.add_argument("--bucket_indices_path", default=None)
+    # mesh
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    from sd3_tpu.config import published_config, tiny_config
+    from sd3_tpu.parallel.mesh import MeshConfig
+    from sd3_tpu.training.trainer import Trainer, TrainConfig
+    from sd3_tpu.training import checkpoint as ckpt
+    from sd3_tpu.data.pipeline import synthetic_batch_iter
+
+    cfg = (published_config(args.stage_res) if args.preset == "published"
+           else tiny_config(max_res=args.stage_res, max_res_orig=args.stage_res))
+    params = None
+    if args.loadDir and args.loadStep:
+        from sd3_tpu.models.mmdit import init_mmdit
+        cfg = ckpt.load_config(args.loadDir,
+                               f"model_params_{args.loadStep}s.json",
+                               update_max_res=args.stage_res)
+        _, template = init_mmdit(cfg, jax.random.PRNGKey(0))
+        params = ckpt.load_artifact(args.loadDir,
+                                    f"model_{args.loadStep}s.msgpack", template)
+
+    tcfg = TrainConfig(
+        batch_size=args.batchSize,
+        accumulation_steps=args.accumulation_steps,
+        total_steps=args.totalSteps,
+        lr=args.lr, warmup_steps=args.warmup_steps,
+        use_lr_scheduler=args.use_lr_scheduler,
+        ema_update_freq=args.ema_update_freq, ema_decay=args.ema_decay,
+        null_prob_pooled=args.null_prob_pooled,
+        null_prob_gemma=args.null_prob_gemma,
+        null_prob_bert=args.null_prob_bert,
+        text_loss_weight=args.text_loss_weight,
+        log_steps=args.log_steps, num_save_steps=args.numSaveSteps,
+        save_dir=args.saveDir, seed=args.seed,
+        mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp),
+    )
+    trainer = Trainer(cfg, tcfg, params=params, wandb_name=args.wandb_name)
+
+    if args.synthetic or not args.data_parquet_folder:
+        it = synthetic_batch_iter(cfg, tcfg.batch_size,
+                                  tcfg.accumulation_steps,
+                                  args.stage_res, args.stage_res,
+                                  seed=args.seed)
+    else:
+        from sd3_tpu.data.encoded import encoded_batch_iter
+        it = encoded_batch_iter(cfg, tcfg, args.data_parquet_folder,
+                                args.bucket_indices_path)
+
+    final_step = trainer.train(it)
+    trainer.save()
+    print(f"training done at step {final_step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""The rectified-flow trainer.
+
+Reference counterpart: src/model_trainer.py (DDP loop with loader-GPU NCCL
+feeds). Here the whole optimizer micro/macro step is ONE jitted XLA program
+over the device mesh:
+
+- micro-batches are a leading axis of the batch; gradient accumulation is a
+  `lax.scan` over them (reference accumulation_steps, model_trainer.py:463-503);
+- grads average across dp/fsdp automatically (XLA inserts the reduce),
+  params/optimizer shard per sd3_tpu/parallel rules;
+- AdamW lr=1e-4 eps=1e-8 wd=0.01 betas=(0.9,0.999), global-norm clip 1.0,
+  warmup-constant or warmup-cosine schedule (model_trainer.py:25-41,260-267);
+- bf16 compute / fp32 params; no GradScaler (bf16 needs none — the reference's
+  is a documented no-op);
+- EMA tracked in fp32 and updated every `ema_update_freq` optimizer steps with
+  `ema = d*ema + (1-d)*p` (model_trainer.py:537-541); lives sharded on device
+  (the reference offloads to CPU only because GPU memory was tight);
+- 6-artifact step-suffixed checkpoints (training/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sd3_tpu.config import MMDiTConfig
+from sd3_tpu.models.mmdit import MMDiT
+from sd3_tpu.parallel.mesh import make_mesh, MeshConfig
+from sd3_tpu.parallel.sharding import (param_sharding_rules, batch_sharding,
+                                       replicated_sharding, shard_params)
+from sd3_tpu.training import flow
+from sd3_tpu.training.checkpoint import save_checkpoint
+from sd3_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 16                 # per micro-step, global
+    accumulation_steps: int = 2
+    total_steps: int = 1_000
+    lr: float = 1e-4
+    warmup_steps: int = 1000
+    use_lr_scheduler: bool = False       # False: constant-after-warmup
+    grad_clip: float = 1.0
+    ema_update_freq: int = 100
+    ema_decay: float = 0.99
+    null_prob_pooled: float = 0.1
+    null_prob_gemma: float = 0.316
+    null_prob_bert: float = 0.316
+    text_loss_weight: float = 0.0
+    weigh_loss: bool = False
+    log_steps: int = 10
+    num_save_steps: int = 1000
+    save_dir: str = "checkpoints/run"
+    seed: int = 0
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    if cfg.use_lr_scheduler:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=0.0)
+    warm = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return optax.join_schedules([warm, optax.constant_schedule(cfg.lr)],
+                                [cfg.warmup_steps])
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(make_lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=0.01),
+    )
+
+
+def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
+                    tcfg: TrainConfig) -> Callable:
+    """One optimizer step = scan over `accumulation_steps` micro-batches.
+
+    batch: dict with
+      x0:     (acc, B, C, H, W) clean latents
+      text:   (acc, B, S, Dtxt)
+      pooled: (acc, B, P)
+    """
+    mcfg = model.cfg
+    use_text_loss = mcfg.text_loss and tcfg.text_loss_weight > 0.0
+
+    def micro_loss(params, rng, x0, text, pooled):
+        k_t, k_eps, k_null, k_txt = jax.random.split(rng, 4)
+        b = x0.shape[0]
+        t = flow.sample_t(k_t, b)
+        x_t, eps = flow.noise_batch(k_eps, x0, t)
+        n_pool, n_gem, n_bert = flow.null_masks(
+            k_null, b, tcfg.null_prob_pooled, tcfg.null_prob_gemma,
+            tcfg.null_prob_bert)
+        if use_text_loss:
+            tl = flow.make_text_loss_batch(k_txt, text, n_gem, n_bert,
+                                           mcfg.text_tokens_per_encoder)
+            v_pred, txt_pred = model.apply(
+                {"params": params}, x_t, t, tl.text_in, pooled,
+                n_pool, n_gem, n_bert)
+            img_loss = flow.velocity_loss(v_pred, x0, eps, t, tcfg.weigh_loss)
+            txt_loss = flow.text_recon_loss(txt_pred, tl)
+            loss = img_loss + tcfg.text_loss_weight * txt_loss
+            return loss, {"loss": loss, "image_loss": img_loss,
+                          "text_loss": txt_loss}
+        v_pred = model.apply({"params": params}, x_t, t, text, pooled,
+                             n_pool, n_gem, n_bert)
+        loss = flow.velocity_loss(v_pred, x0, eps, t, tcfg.weigh_loss)
+        return loss, {"loss": loss}
+
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    def train_step(params, opt_state, rng, batch):
+        acc = batch["x0"].shape[0]
+
+        def micro(carry, inp):
+            g_sum, metric_sum = carry
+            key, x0, text, pooled = inp
+            g, metrics = grad_fn(params, key, x0, text, pooled)
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+            metric_sum = jax.tree_util.tree_map(jnp.add, metric_sum, metrics)
+            return (g_sum, metric_sum), None
+
+        zeros_like_f32 = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), t)
+        g0 = zeros_like_f32(params)
+        m0 = {"loss": jnp.zeros((), jnp.float32)}
+        if use_text_loss:
+            m0.update(image_loss=jnp.zeros(()), text_loss=jnp.zeros(()))
+        keys = jax.random.split(rng, acc)
+        (g, metrics), _ = jax.lax.scan(
+            micro, (g0, m0), (keys, batch["x0"], batch["text"], batch["pooled"]))
+        g = jax.tree_util.tree_map(lambda x: x / acc, g)
+        metrics = jax.tree_util.tree_map(lambda x: x / acc, metrics)
+
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(g)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def ema_update(ema, params, decay: float):
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params)
+
+
+class Trainer:
+    """Orchestrates jit/sharding, the step loop, EMA, logging, checkpoints."""
+
+    def __init__(self, cfg: MMDiTConfig, tcfg: TrainConfig,
+                 params=None, mesh=None, log_dir: str | None = None,
+                 wandb_name: str | None = None, use_wandb: bool = True):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.mesh = mesh or make_mesh(tcfg.mesh)
+        self.model = MMDiT(cfg, remat_blocks=True)
+
+        rng = jax.random.PRNGKey(tcfg.seed)
+        if params is None:
+            from sd3_tpu.models.mmdit import init_mmdit
+            _, params = init_mmdit(cfg, rng)
+        self.param_shardings = param_sharding_rules(params, self.mesh)
+        self.params = jax.tree_util.tree_map(jax.device_put, params,
+                                             self.param_shardings)
+        # copy=True: astype(f32) on f32 leaves would alias the param buffers,
+        # which the donating train step then deletes out from under the EMA
+        self.ema = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), self.params)
+
+        self.optimizer = make_optimizer(tcfg)
+        with self.mesh:
+            self.opt_state = jax.jit(
+                self.optimizer.init,
+                out_shardings=None)(self.params)
+
+        step_fn = make_train_step(self.model, self.optimizer, tcfg)
+        rep = replicated_sharding(self.mesh)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(self.param_shardings, None, rep, None),
+            donate_argnums=(0, 1),
+        )
+        self._ema_step = jax.jit(functools.partial(
+            ema_update, decay=tcfg.ema_decay), donate_argnums=(0,))
+
+        self.step = cfg.start_step
+        self.rng = jax.random.fold_in(rng, 1)
+        self.logger = MetricsLogger(log_dir or tcfg.save_dir,
+                                    run_name=wandb_name,
+                                    run_id=cfg.wandb_id, use_wandb=use_wandb)
+
+    def shard_batch(self, batch: dict) -> dict:
+        """device_put host batch with the batch axis over dp×fsdp."""
+        out = {}
+        for k, v in batch.items():
+            sh = batch_sharding(self.mesh, ndim=np.ndim(v))
+            # micro-step axis first: shard axis 1 (the batch axis)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = [None] * np.ndim(v)
+            if np.ndim(v) >= 2:
+                spec[1] = ("dp", "fsdp")
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, P(*spec)))
+        return out
+
+    def train_step(self, batch: dict) -> dict:
+        self.rng, key = jax.random.split(self.rng)
+        with self.mesh:
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, key, batch)
+        self.step += 1
+        if self.step % self.tcfg.ema_update_freq == 0:
+            with self.mesh:
+                self.ema = self._ema_step(self.ema, self.params)
+        return metrics
+
+    def train(self, batch_iter, total_steps: int | None = None):
+        total = total_steps or self.tcfg.total_steps
+        t0 = time.time()
+        acc_metrics = None
+        while self.step < total:
+            batch = next(batch_iter)
+            metrics = self.train_step(self.shard_batch(batch))
+            acc_metrics = metrics if acc_metrics is None else jax.tree_util.tree_map(
+                jnp.add, acc_metrics, metrics)
+            if self.step % self.tcfg.log_steps == 0:
+                logged = {k: float(v) / self.tcfg.log_steps
+                          for k, v in acc_metrics.items()}
+                logged["lr"] = float(make_lr_schedule(self.tcfg)(self.step))
+                logged["steps_per_sec"] = self.tcfg.log_steps / (time.time() - t0)
+                self.logger.log(logged, self.step)
+                acc_metrics, t0 = None, time.time()
+            if self.step % self.tcfg.num_save_steps == 0:
+                self.save()
+        return self.step
+
+    def save(self):
+        save_checkpoint(self.tcfg.save_dir, self.cfg, self.params,
+                        ema_params=self.ema, opt_state=self.opt_state,
+                        scheduler_state={"step": self.step}, step=self.step,
+                        wandb_id=self.logger.run_id)

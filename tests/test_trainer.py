@@ -1,0 +1,123 @@
+"""Trainer smoke tests: loss decreases on a fixed synthetic batch; EMA and
+checkpointing behave; samplers run; checkpoint round-trips."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sd3_tpu.config import tiny_config
+from sd3_tpu.models.mmdit import MMDiT, init_mmdit
+from sd3_tpu.training.trainer import Trainer, TrainConfig, ema_update
+from sd3_tpu.training import flow
+from sd3_tpu.training.checkpoint import (save_checkpoint, load_checkpoint)
+from sd3_tpu.data.pipeline import synthetic_batch_iter
+from sd3_tpu.inference.sampler import sample_latents, make_velocity_fn
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=4, accumulation_steps=2, total_steps=10,
+                       warmup_steps=2, ema_update_freq=2, log_steps=5,
+                       num_save_steps=10**9, lr=1e-3,
+                       save_dir=str(tmp_path_factory.mktemp("ckpt")))
+    return Trainer(cfg, tcfg, use_wandb=False)
+
+
+def test_loss_decreases(trainer):
+    cfg, tcfg = trainer.cfg, trainer.tcfg
+    it = synthetic_batch_iter(cfg, tcfg.batch_size, tcfg.accumulation_steps,
+                              cfg.max_res, cfg.max_res)
+    batch = trainer.shard_batch(next(it))
+    losses = [float(trainer.train_step(batch)["loss"]) for _ in range(8)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_ema_moves_toward_params(trainer):
+    diff = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.abs(e - p).max()), trainer.ema, trainer.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0  # updated but not equal
+
+    ema2 = ema_update(trainer.ema, trainer.params, 0.0)
+    same = jax.tree_util.tree_map(
+        lambda e, p: np.allclose(np.asarray(e), np.asarray(p, np.float32)),
+        ema2, trainer.params)
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, trainer.cfg, trainer.params, ema_params=trainer.ema,
+                    opt_state=trainer.opt_state,
+                    scheduler_state={"step": trainer.step}, step=7)
+    names = os.listdir(d)
+    for stem in ("model_7s.msgpack", "model_ema_7s.msgpack", "optim_7s.msgpack",
+                 "scheduler_7s.msgpack", "scaler_7s.msgpack",
+                 "model_params_7s.json"):
+        assert stem in names, names
+    out = load_checkpoint(d, 7, trainer.params, ema=trainer.ema,
+                          optim=trainer.opt_state,
+                          scheduler={"step": 0})
+    assert out["cfg"].start_step == 7
+    a = jax.tree_util.tree_leaves(trainer.params)
+    b = jax.tree_util.tree_leaves(out["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert out["scheduler"]["step"] == trainer.step
+
+
+@pytest.mark.parametrize("sampler", ["euler", "euler_stochastic", "heun"])
+def test_samplers_run(trainer, sampler):
+    cfg = trainer.cfg
+    model = MMDiT(cfg, remat_blocks=False)
+    b = 2
+    th = jnp.zeros((b, cfg.text_tokens, cfg.text_hidden_dim))
+    tp = jnp.zeros((b, cfg.class_dim))
+    vel = make_velocity_fn(model, trainer.params, th, tp)
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (b, cfg.inCh, cfg.max_res // 8, cfg.max_res // 8))
+    lat = sample_latents(vel, x, jax.random.PRNGKey(1), num_steps=3,
+                         cfg_scale=4.0, sampler=sampler)
+    assert lat.shape == x.shape
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_euler_sampler_matches_manual_loop(trainer):
+    """The scanned euler sampler must equal a hand-rolled python loop
+    (the fp32 bit-match gate for the reference comparison)."""
+    cfg = trainer.cfg
+    model = MMDiT(cfg, remat_blocks=False)
+    b, steps, w = 1, 4, 3.0
+    th = jax.random.normal(jax.random.PRNGKey(2),
+                           (b, cfg.text_tokens, cfg.text_hidden_dim))
+    tp = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.class_dim))
+    vel = make_velocity_fn(model, trainer.params, th, tp)
+    x0 = jax.random.normal(jax.random.PRNGKey(4),
+                           (b, cfg.inCh, cfg.max_res // 8, cfg.max_res // 8))
+    got = sample_latents(vel, x0, jax.random.PRNGKey(5), steps, w, "euler")
+
+    x = x0
+    dt = 1.0 / steps
+    for t in np.linspace(1.0, 1.0 / steps, steps):
+        x = x - vel(x, jnp.float32(t), w) * dt
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flow_primitives():
+    rng = jax.random.PRNGKey(0)
+    t = flow.sample_t(rng, 1000)
+    assert ((t > 0) & (t < 1)).all()
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 8, 8))
+    x_t, eps = flow.noise_batch(jax.random.PRNGKey(2), x0, jnp.full((4,), 0.25))
+    np.testing.assert_allclose(np.asarray(x_t),
+                               np.asarray(0.75 * x0 + 0.25 * eps), rtol=1e-6)
+    # t=0 -> x0 exactly; t=1 -> eps exactly
+    x_t0, _ = flow.noise_batch(jax.random.PRNGKey(2), x0, jnp.zeros((4,)))
+    np.testing.assert_allclose(np.asarray(x_t0), np.asarray(x0), rtol=1e-6)
+    # loss of perfect prediction is 0
+    assert float(flow.velocity_loss(eps - x0, x0, eps)) == 0.0
