@@ -74,6 +74,11 @@ class MMDiTConfig:
     # tests can run tiny.
     text_tokens_per_encoder: int = TEXT_TOKENS_PER_ENCODER
     text_hidden_dim: int = TEXT_HIDDEN_DIM
+    # Absolute-PE table geometry (reference hardcodes a 256-token max grid
+    # with base_size=128 — ImagePositionalEncoding.py:128-131, built from
+    # height=256/patch_size=2 at diff_model.py:192-204).
+    pos_embed_max_size: int = 256
+    pos_embed_base_size: int = 128
 
     def __post_init__(self):
         assert self.attn_type in ATTN_TYPES, self.attn_type
@@ -124,7 +129,8 @@ class MMDiTConfig:
     # TPU-side extras are persisted too (harmless extra keys; reference JSONs
     # without them get the defaults on load).
     _EXTRA_JSON_KEYS = ("dtype", "rope2d_interpolate",
-                        "text_tokens_per_encoder", "text_hidden_dim")
+                        "text_tokens_per_encoder", "text_hidden_dim",
+                        "pos_embed_max_size", "pos_embed_base_size")
 
     def to_json_dict(self) -> dict[str, Any]:
         d = {k: getattr(self, k) for k in self._JSON_KEYS + self._EXTRA_JSON_KEYS}
@@ -193,6 +199,7 @@ def tiny_config(**overrides) -> MMDiTConfig:
         dtype="float32",
         text_tokens_per_encoder=7,
         text_hidden_dim=24,
+        pos_embed_max_size=16,
     )
     kw.update(overrides)
     return MMDiTConfig(**kw)

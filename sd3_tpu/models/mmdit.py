@@ -143,7 +143,8 @@ class MMDiT(nn.Module):
         x = PatchEmbed(
             patch_size=cfg.patch_size, in_channels=ch, embed_dim=cfg.dim,
             bias=False, pos_embed_type=cfg.positional_encoding,
-            pos_embed_max_size=256, base_size=128, dtype=dtype,
+            pos_embed_max_size=cfg.pos_embed_max_size,
+            base_size=cfg.pos_embed_base_size, dtype=dtype,
             name="pos_enc")(x_t.astype(dtype))
         x = nn.Dense(cfg.dim, use_bias=True, name="patch_emb", dtype=dtype,
                      param_dtype=jnp.float32)(x)

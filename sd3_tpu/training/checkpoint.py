@@ -70,15 +70,15 @@ def import_torch_state_dict(state_dict: Mapping[str, Any]) -> dict:
         # structural renames
         if parts[0] == "blocks":
             parts = [f"blocks_{parts[1]}"] + parts[2:]
-        if len(parts) >= 2 and parts[-3:-1] == ["y_proj", "0"]:
-            parts = parts[:-2] + ["y_proj", parts[-1]]
+        if len(parts) >= 3 and parts[-3:-1] == ["y_proj", "0"]:
+            parts = parts[:-2] + [parts[-1]]        # drop the Sequential "0"
         if parts[0] == "time_scale":
             flat[("t_emb", "time_scale")] = arr
             continue
         if parts[0] == "t_emb2":
             parts = ["t_emb", "t_emb2", parts[-1]]
-        if len(parts) >= 2 and parts[-3:-1] == ["pos_enc", "proj"]:
-            parts = parts[:-2] + ["pos_enc", parts[-1]]
+        if len(parts) >= 3 and parts[-3:-1] == ["pos_enc", "proj"]:
+            parts = parts[:-2] + [parts[-1]]        # pos_enc.proj -> pos_enc
 
         leaf = parts[-1]
         if leaf == "weight":
@@ -109,14 +109,12 @@ def export_to_torch_state_dict(params: Mapping) -> dict[str, np.ndarray]:
             parts = ["blocks", m.group(1)] + parts[1:]
         leaf = parts[-1]
         if leaf == "kernel":
-            if parts[-2] == "pos_enc":
-                # (C*p*p, O) -> we cannot recover (C,p,p) here; leave 2-D
-                # transposed form — the importer accepts it symmetrically.
-                arr = arr.T
-            else:
-                arr = arr.T
+            # pos_enc keeps the 2-D transposed form (the importer accepts it
+            # symmetrically; the original (O,C,p,p) layout is not recoverable)
+            arr = arr.T
             parts[-1] = "weight"
-        if parts[-2] == "y_proj" and parts[-1] in ("weight", "bias"):
+        if len(parts) >= 2 and parts[-2] == "y_proj" \
+                and parts[-1] in ("weight", "bias"):
             parts = parts[:-1] + ["0", parts[-1]]
         out[".".join(parts)] = arr
     return out

@@ -79,7 +79,9 @@ def test_modernbert_matches_transformers():
         local_rope_theta=cfg.local_rope_theta,
         local_attention=cfg.local_attention,
         global_attn_every_n_layers=cfg.global_attn_every_n_layers,
-        attn_implementation="eager", reference_compile=False)
+        attn_implementation="eager", reference_compile=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        cls_token_id=3, sep_token_id=4)
     torch.manual_seed(2)
     hf = ModernBertModel(hf_cfg).eval()
 

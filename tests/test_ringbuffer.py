@@ -1,0 +1,76 @@
+"""C++ shared-memory ring buffer: pack/unpack, in-process, and cross-process
+producer/consumer with backpressure."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sd3_tpu.data.ringbuffer import Ring, pack_batch, unpack_batch
+
+
+def test_pack_unpack_roundtrip():
+    b = {"image": np.arange(24, dtype=np.float32).reshape(2, 3, 4),
+         "caption": ["a", "b"], "bucket": "8x8",
+         "ids": np.array([1, 2, 3], np.int64)}
+    r = unpack_batch(pack_batch(b))
+    np.testing.assert_array_equal(r["image"], b["image"])
+    np.testing.assert_array_equal(r["ids"], b["ids"])
+    assert r["caption"] == ["a", "b"] and r["bucket"] == "8x8"
+
+
+def test_ring_fifo_and_close():
+    ring = Ring.create(f"/sd3t_{os.getpid()}", 1 << 16, 4)
+    try:
+        for i in range(4):
+            ring.push_batch({"x": np.full((8,), i, np.int32)})
+        assert len(ring) == 4
+        for i in range(4):
+            assert Ring.open(ring.name).pop_batch()["x"][0] == i
+        ring.close()
+        assert ring.pop_batch() is None
+        with pytest.raises(BrokenPipeError):
+            ring.push(b"y")
+    finally:
+        ring.unlink()
+
+
+def test_ring_oversized_record_rejected():
+    ring = Ring.create(f"/sd3o_{os.getpid()}", 64, 2)
+    try:
+        with pytest.raises(ValueError):
+            ring.push(b"x" * 100)
+    finally:
+        ring.unlink()
+
+
+PRODUCER = r"""
+import sys, numpy as np
+from sd3_tpu.data.ringbuffer import Ring
+ring = Ring.open(sys.argv[1])
+for i in range(20):
+    ring.push_batch({"x": np.full((1000,), i, np.float32)})
+print("PRODUCED")
+"""
+
+
+def test_cross_process_backpressure():
+    name = f"/sd3x_{os.getpid()}"
+    # slots hold ~4KB records; only 2 slots -> producer must block on us
+    ring = Ring.create(name, 1 << 13, 2)
+    try:
+        p = subprocess.Popen([sys.executable, "-c", PRODUCER, name],
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))),
+                             stdout=subprocess.PIPE, text=True)
+        got = []
+        for _ in range(20):
+            got.append(int(Ring.open(name).pop_batch()["x"][0]))
+        assert got == list(range(20))
+        out, _ = p.communicate(timeout=60)
+        assert "PRODUCED" in out
+    finally:
+        ring.close()
+        ring.unlink()

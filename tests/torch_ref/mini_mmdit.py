@@ -389,7 +389,8 @@ class MiniMMDiT(nn.Module):
             self.register_buffer(
                 "abs_pos_embed",
                 torch.from_numpy(table).float().reshape(
-                    pos_embed_max_size, pos_embed_max_size, dim))
+                    pos_embed_max_size, pos_embed_max_size, dim),
+                persistent=False)  # recomputed, like our sincos table
         self.out_norm = AdaLN(dim, dim)
         self.out_proj = nn.Linear(dim, inCh * patch_size * patch_size)
         self.time_scale = nn.Parameter(torch.tensor([1000.0]))
