@@ -55,32 +55,44 @@ def bench_sampling(args):
     import jax.numpy as jnp
     from sd3_tpu.config import published_config
     from sd3_tpu.models.mmdit import MMDiT, init_mmdit
-    from sd3_tpu.inference.sampler import make_velocity_fn, sample_latents
+    from sd3_tpu.inference.sampler import make_sample_fn
 
-    cfg = published_config(stage_res=args.res).replace(dtype=args.dtype)
+    cfg = published_config(stage_res=args.res).replace(
+        dtype=args.dtype, attn_type=args.attn)
     log(f"init {cfg.dim}d x {cfg.num_blocks} blocks @ {args.res}px "
-        f"dtype={args.dtype} backend={jax.default_backend()}")
+        f"dtype={args.dtype} attn={args.attn} backend={jax.default_backend()}")
     model, params = init_mmdit(cfg, jax.random.PRNGKey(0), remat_blocks=False)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M")
+    if args.cast_params and args.dtype == "bfloat16":
+        # inference-only: bf16 weights halve HBM weight traffic and skip the
+        # per-matmul f32->bf16 conversion
+        import jax.numpy as _jnp
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(_jnp.bfloat16), params)
 
     b = args.batch
     lat = args.res // 8
     th = jnp.zeros((b, cfg.text_tokens, cfg.text_hidden_dim), jnp.float32)
     tp = jnp.zeros((b, cfg.class_dim), jnp.float32)
-    vel = make_velocity_fn(model, params, th, tp)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.inCh, lat, lat))
     rng = jax.random.PRNGKey(2)
 
-    run = lambda: sample_latents(vel, x, rng, args.steps, 5.0, "euler")
+    import numpy as np
+    fn = make_sample_fn(model, args.steps, "euler")
+    # NOTE: device_get (not block_until_ready) — the axon platform's
+    # block_until_ready returns before execution completes; forcing the
+    # device->host transfer of the result is the reliable fence.
+    run = lambda: float(np.asarray(fn(params, x, th, tp, rng,
+                                      jnp.float32(5.0))).ravel()[0])
     t0 = time.time()
-    out = jax.block_until_ready(run())
+    run()
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        out = jax.block_until_ready(run())
+        run()
         times.append(time.time() - t0)
     dt = min(times)
     imgs_per_sec = b / dt
@@ -118,14 +130,16 @@ def bench_train(args):
                        save_dir="/tmp/bench_train")
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
+    import numpy as np
     batch = trainer.shard_batch(next(it))
+    force = lambda m: float(np.asarray(m["loss"]))  # see axon fence note above
     t0 = time.time()
-    jax.block_until_ready(trainer.train_step(batch)["loss"])
+    force(trainer.train_step(batch))
     log(f"compile+first step: {time.time()-t0:.1f}s")
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        jax.block_until_ready(trainer.train_step(batch)["loss"])
+        force(trainer.train_step(batch))
         times.append(time.time() - t0)
     dt = min(times)
     img_tokens = cfg.img_tokens(args.res // 8, args.res // 8)
@@ -147,6 +161,11 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--attn", default="softmax_flash",
+                   choices=["softmax", "softmax_flash"])
+    p.add_argument("--cast_params", action="store_true", default=True)
+    p.add_argument("--no_cast_params", dest="cast_params",
+                   action="store_false")
     p.add_argument("--train", action="store_true")
     args = p.parse_args()
     result = bench_train(args) if args.train else bench_sampling(args)

@@ -49,16 +49,9 @@ def make_velocity_fn(model, params, text_hidden, text_pooled):
     return velocity
 
 
-@functools.partial(jax.jit, static_argnames=("velocity_fn", "num_steps",
-                                             "sampler", "dynamic_cfg"))
-def sample_latents(velocity_fn: Callable, x_init: jax.Array, rng: jax.Array,
-                   num_steps: int, cfg_scale: float,
-                   sampler: str = "euler", dynamic_cfg: bool = False,
-                   ) -> jax.Array:
-    """Run the flow ODE/SDE from t=1 noise to t≈0 latents.
-
-    x_init: (B, C, H, W) ~ N(0,1). Returns final latents, same shape.
-    """
+def _scan_sampler(velocity_fn: Callable, x_init: jax.Array, rng: jax.Array,
+                  num_steps: int, cfg_scale, sampler: str,
+                  dynamic_cfg: bool) -> jax.Array:
     assert sampler in SAMPLERS, sampler
     timesteps = jnp.linspace(1.0, 1.0 / num_steps, num_steps)
     dt = 1.0 / num_steps
@@ -84,6 +77,51 @@ def sample_latents(velocity_fn: Callable, x_init: jax.Array, rng: jax.Array,
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("velocity_fn", "num_steps",
+                                             "sampler", "dynamic_cfg"))
+def sample_latents(velocity_fn: Callable, x_init: jax.Array, rng: jax.Array,
+                   num_steps: int, cfg_scale: float,
+                   sampler: str = "euler", dynamic_cfg: bool = False,
+                   ) -> jax.Array:
+    """Run the flow ODE/SDE from t=1 noise to t≈0 latents.
+
+    NOTE: `velocity_fn` typically closes over params; for large models use
+    `make_sample_fn` instead, which threads params as a jit ARGUMENT (a
+    closed-over 1.2B-param tree would be lowered as 5GB of constants).
+    """
+    return _scan_sampler(velocity_fn, x_init, rng, num_steps, cfg_scale,
+                         sampler, dynamic_cfg)
+
+
+def make_sample_fn(model, num_steps: int, sampler: str = "euler",
+                   dynamic_cfg: bool = False) -> Callable:
+    """Build a jitted sampler with params/conditioning as ARGUMENTS.
+
+    Returns fn(params, x_init, text_hidden, text_pooled, rng, cfg_scale)
+    -> final latents. text_* have batch == x_init batch.
+    """
+
+    def run(params, x_init, text_hidden, text_pooled, rng, cfg_scale):
+        b = x_init.shape[0]
+        null = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+        th2 = jnp.concatenate([text_hidden, text_hidden], axis=0)
+        tp2 = jnp.concatenate([text_pooled, text_pooled], axis=0)
+
+        def velocity(x, t, w):
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.float32)
+            out = model.apply({"params": params}, x2, t2, th2, tp2,
+                              null, null, null)
+            if isinstance(out, tuple):
+                out = out[0]
+            return (1.0 + w) * out[:b] - w * out[b:]
+
+        return _scan_sampler(velocity, x_init, rng, num_steps, cfg_scale,
+                             sampler, dynamic_cfg)
+
+    return jax.jit(run)
+
+
 def sample_imgs(model, params, text_encoders, batch_size: int, num_steps: int,
                 text_input, cfg_scale: float = 0.0, width: int = 256,
                 height: int = 256, sampler: str = "euler",
@@ -106,11 +144,13 @@ def sample_imgs(model, params, text_encoders, batch_size: int, num_steps: int,
         text_hidden = jnp.repeat(text_hidden, batch_size, axis=0)
         text_pooled = jnp.repeat(text_pooled, batch_size, axis=0)
 
-    vel = make_velocity_fn(model, params, text_hidden, text_pooled)
-
     if not save_intermediate:
-        lat = sample_latents(vel, x, k_samp, num_steps, cfg_scale, sampler)
+        fn = make_sample_fn(model, num_steps, sampler)
+        lat = fn(params, x, text_hidden, text_pooled, k_samp,
+                 jnp.float32(cfg_scale))
         return text_encoders.vae_decode(lat) if decode else lat
+
+    vel = make_velocity_fn(model, params, text_hidden, text_pooled)
 
     # Intermediate decodes (GIF path) — stepwise, not scanned.
     imgs = []

@@ -39,6 +39,10 @@ def build_argparser():
     p.add_argument("--saveDir", default="checkpoints/run")
     p.add_argument("--loadDir", default=None)
     p.add_argument("--loadStep", type=int, default=None)
+    p.add_argument("--reset_optim", action="store_true",
+                   help="do not restore optimizer state on resume "
+                        "(stage transitions, reference README.md:296-303)")
+    p.add_argument("--reset_wandb", action="store_true")
     p.add_argument("--log_steps", type=int, default=10)
     p.add_argument("--wandb_name", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -64,15 +68,24 @@ def main(argv=None):
 
     cfg = (published_config(args.stage_res) if args.preset == "published"
            else tiny_config(max_res=args.stage_res, max_res_orig=args.stage_res))
-    params = None
+    params, ema = None, None
     if args.loadDir and args.loadStep:
+        import os
         from sd3_tpu.models.mmdit import init_mmdit
+        from sd3_tpu.training.trainer import make_optimizer
         cfg = ckpt.load_config(args.loadDir,
                                f"model_params_{args.loadStep}s.json",
                                update_max_res=args.stage_res)
+        if args.reset_wandb:
+            cfg = cfg.replace(wandb_id=None)
+        s = args.loadStep
         _, template = init_mmdit(cfg, jax.random.PRNGKey(0))
-        params = ckpt.load_artifact(args.loadDir,
-                                    f"model_{args.loadStep}s.msgpack", template)
+        params = ckpt.load_artifact(args.loadDir, f"model_{s}s.msgpack",
+                                    template)
+        ema_path = os.path.join(args.loadDir, f"model_ema_{s}s.msgpack")
+        if os.path.exists(ema_path):
+            ema = ckpt.load_artifact(args.loadDir, f"model_ema_{s}s.msgpack",
+                                     template)
 
     tcfg = TrainConfig(
         batch_size=args.batchSize,
@@ -89,7 +102,13 @@ def main(argv=None):
         save_dir=args.saveDir, seed=args.seed,
         mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp),
     )
-    trainer = Trainer(cfg, tcfg, params=params, wandb_name=args.wandb_name)
+    trainer = Trainer(cfg, tcfg, params=params, ema=ema,
+                      wandb_name=args.wandb_name)
+    if args.loadDir and args.loadStep and not args.reset_optim:
+        import os
+        if os.path.exists(os.path.join(
+                args.loadDir, f"optim_{args.loadStep}s.msgpack")):
+            trainer.restore_optimizer(args.loadDir, args.loadStep)
 
     if args.synthetic or not args.data_parquet_folder:
         it = synthetic_batch_iter(cfg, tcfg.batch_size,

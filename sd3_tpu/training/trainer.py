@@ -162,7 +162,8 @@ class Trainer:
 
     def __init__(self, cfg: MMDiTConfig, tcfg: TrainConfig,
                  params=None, mesh=None, log_dir: str | None = None,
-                 wandb_name: str | None = None, use_wandb: bool = True):
+                 wandb_name: str | None = None, use_wandb: bool = True,
+                 opt_state=None, ema=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh or make_mesh(tcfg.mesh)
@@ -178,13 +179,16 @@ class Trainer:
         # copy=True: astype(f32) on f32 leaves would alias the param buffers,
         # which the donating train step then deletes out from under the EMA
         self.ema = jax.tree_util.tree_map(
-            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), self.params)
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+            ema if ema is not None else self.params)
 
         self.optimizer = make_optimizer(tcfg)
         with self.mesh:
             self.opt_state = jax.jit(
                 self.optimizer.init,
                 out_shardings=None)(self.params)
+        if opt_state is not None:
+            self._restore_opt_state(opt_state)
 
         step_fn = make_train_step(self.model, self.optimizer, tcfg)
         rep = replicated_sharding(self.mesh)
@@ -245,6 +249,20 @@ class Trainer:
             if self.step % self.tcfg.num_save_steps == 0:
                 self.save()
         return self.step
+
+    def _restore_opt_state(self, opt_state):
+        """Place a deserialized optimizer state onto the sharded template."""
+        self.opt_state = jax.tree_util.tree_map(
+            lambda t, s: jax.device_put(jnp.asarray(s), t.sharding)
+            if hasattr(t, "sharding") else s,
+            self.opt_state, opt_state)
+
+    def restore_optimizer(self, load_dir: str, step: int):
+        """Load optim_{step}s.msgpack (reference optimFile resume semantics)."""
+        from sd3_tpu.training.checkpoint import load_artifact
+        template = jax.device_get(self.opt_state)
+        self._restore_opt_state(
+            load_artifact(load_dir, f"optim_{step}s.msgpack", template))
 
     def save(self):
         save_checkpoint(self.tcfg.save_dir, self.cfg, self.params,
