@@ -124,10 +124,14 @@ def bench_train(args):
     from sd3_tpu.data.pipeline import synthetic_batch_iter
 
     cfg = published_config(stage_res=args.res).replace(dtype=args.dtype)
+    # bf16 Adam moments: 1.2B AdamW training needs >19G with fp32 moments —
+    # more than one v5e's 16G (the reference trained on 80GB A100s); low-mem
+    # states + the acc==1 fast path fit it on a single chip.
     tcfg = TrainConfig(batch_size=args.batch, accumulation_steps=1,
                        total_steps=10**9, ema_update_freq=10**9,
                        num_save_steps=10**9, log_steps=10**9,
-                       save_dir="/tmp/bench_train")
+                       save_dir="/tmp/bench_train", low_mem_optimizer=True,
+                       track_ema=False)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
     import numpy as np

@@ -51,6 +51,7 @@ class TrainConfig:
     grad_clip: float = 1.0
     ema_update_freq: int = 100
     ema_decay: float = 0.99
+    track_ema: bool = True     # False skips the fp32 EMA replica entirely
     null_prob_pooled: float = 0.1
     null_prob_gemma: float = 0.316
     null_prob_bert: float = 0.316
@@ -58,6 +59,9 @@ class TrainConfig:
     weigh_loss: bool = False
     log_steps: int = 10
     num_save_steps: int = 1000
+    # bf16 Adam moments — halves optimizer memory (training/optim.py); off by
+    # default for strict reference parity
+    low_mem_optimizer: bool = False
     save_dir: str = "checkpoints/run"
     seed: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -76,11 +80,14 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(make_lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=0.01),
-    )
+    if cfg.low_mem_optimizer:
+        from sd3_tpu.training.optim import adamw_low_mem
+        inner = adamw_low_mem(make_lr_schedule(cfg), b1=0.9, b2=0.999,
+                              eps=1e-8, weight_decay=0.01)
+    else:
+        inner = optax.adamw(make_lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8,
+                            weight_decay=0.01)
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
 
 
 def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
@@ -123,6 +130,15 @@ def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
 
     def train_step(params, opt_state, rng, batch):
         acc = batch["x0"].shape[0]
+
+        if acc == 1:
+            # fast path: no accumulation buffers (saves a full fp32 grad tree)
+            g, metrics = grad_fn(params, rng, batch["x0"][0],
+                                 batch["text"][0], batch["pooled"][0])
+            updates, opt_state = optimizer.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(g)
+            return params, opt_state, metrics
 
         def micro(carry, inp):
             g_sum, metric_sum = carry
@@ -178,9 +194,11 @@ class Trainer:
                                              self.param_shardings)
         # copy=True: astype(f32) on f32 leaves would alias the param buffers,
         # which the donating train step then deletes out from under the EMA
-        self.ema = jax.tree_util.tree_map(
-            lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
-            ema if ema is not None else self.params)
+        self.ema = None
+        if tcfg.track_ema:
+            self.ema = jax.tree_util.tree_map(
+                lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+                ema if ema is not None else self.params)
 
         self.optimizer = make_optimizer(tcfg)
         with self.mesh:
@@ -225,7 +243,7 @@ class Trainer:
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, key, batch)
         self.step += 1
-        if self.step % self.tcfg.ema_update_freq == 0:
+        if self.ema is not None and self.step % self.tcfg.ema_update_freq == 0:
             with self.mesh:
                 self.ema = self._ema_step(self.ema, self.params)
         return metrics
@@ -269,3 +287,4 @@ class Trainer:
                         ema_params=self.ema, opt_state=self.opt_state,
                         scheduler_state={"step": self.step}, step=self.step,
                         wandb_id=self.logger.run_id)
+        print(f"Saving model (step {self.step})")
