@@ -131,7 +131,7 @@ def bench_train(args):
                        total_steps=10**9, ema_update_freq=10**9,
                        num_save_steps=10**9, log_steps=10**9,
                        save_dir="/tmp/bench_train", low_mem_optimizer=True,
-                       track_ema=False)
+                       track_ema=False, remat_policy=args.remat_policy)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
     import numpy as np
@@ -171,6 +171,8 @@ def main():
     p.add_argument("--no_cast_params", dest="cast_params",
                    action="store_false")
     p.add_argument("--train", action="store_true")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots"])
     args = p.parse_args()
     result = bench_train(args) if args.train else bench_sampling(args)
     print(json.dumps(result), flush=True)

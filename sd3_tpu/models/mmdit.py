@@ -90,6 +90,10 @@ class MMDiT(nn.Module):
 
     cfg: MMDiTConfig
     remat_blocks: bool = True
+    # "nothing": recompute everything (min memory); "dots": save matmul
+    # outputs (jax dots_with_no_batch_dims_saveable — ~25% faster backward
+    # for ~1GB extra at stage-1 shapes)
+    remat_policy: str = "nothing"
 
     @nn.compact
     def __call__(self, x_t, t, c, c_pooled,
@@ -152,8 +156,11 @@ class MMDiT(nn.Module):
         hw = (h // cfg.patch_size, w // cfg.patch_size)
         block_cls = DualStreamBlock
         if self.remat_blocks:
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             block_cls = nn.remat(DualStreamBlock, static_argnums=(4,),
-                                 prevent_cse=False)
+                                 prevent_cse=False, policy=policy)
         for i in range(cfg.num_blocks):
             last = (i == cfg.num_blocks - 1) and not cfg.text_loss
             x, c_tok = block_cls(cfg, i, last, name=f"blocks_{i}")(

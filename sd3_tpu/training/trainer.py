@@ -62,6 +62,7 @@ class TrainConfig:
     # bf16 Adam moments — halves optimizer memory (training/optim.py); off by
     # default for strict reference parity
     low_mem_optimizer: bool = False
+    remat_policy: str = "nothing"   # see MMDiT.remat_policy
     save_dir: str = "checkpoints/run"
     seed: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -183,7 +184,8 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh or make_mesh(tcfg.mesh)
-        self.model = MMDiT(cfg, remat_blocks=True)
+        self.model = MMDiT(cfg, remat_blocks=True,
+                           remat_policy=tcfg.remat_policy)
 
         rng = jax.random.PRNGKey(tcfg.seed)
         if params is None:

@@ -17,7 +17,8 @@ def test_train_step_across_bucket_shapes(tmp_path):
                        num_save_steps=10**9, save_dir=str(tmp_path))
     tr = Trainer(cfg, tcfg, use_wandb=False)
 
-    shapes = [(16, 16), (16, 8), (8, 16)]
+    # pixel-space bucket shapes (multiples of 16, reference phase rule)
+    shapes = [(16, 16), (32, 16), (16, 32)]
     for h, w in shapes:
         it = synthetic_batch_iter(cfg, 2, 1, h, w)
         m = tr.train_step(tr.shard_batch(next(it)))
