@@ -29,6 +29,7 @@ import flax.linen as nn
 from sd3_tpu.ops.norms import RMSNorm
 from sd3_tpu.ops import rope as rope_lib
 from sd3_tpu.ops.flash_attention import flash_attention
+from sd3_tpu.ops.fused_attention import fused_dual_flash_attention
 
 SOFTMAX_TYPES = ("softmax", "softmax_flash")
 
@@ -102,8 +103,10 @@ def attention_core(q, k, v, attn_type, scale, causal=False, norm_const=None,
         return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
                           preferred_element_type=f32).astype(v.dtype)
     if attn_type == "cosine4":
-        d = q.shape[-1]
-        sc = 1.0 / (d ** 0.5)
+        # 1/sqrt(head_dim) with the VALUE head dim (reference Attention.py
+        # cosine4 uses self.head_dim even under qk_half_dim) — `scale` is
+        # already hd_v ** -0.5.
+        sc = scale
         qn = jnp.linalg.norm(q.astype(f32), axis=-1, keepdims=True)
         kn = jnp.linalg.norm(k.astype(f32), axis=-1, keepdims=True)
         attn = (jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=f32) * sc
@@ -170,6 +173,54 @@ class JointAttention(nn.Module):
             return rope_lib.apply_rope2dv2(t, h, w, interpolate_factor=interp)
         return t  # absolute / NoPE: nothing at the attention level
 
+    def _fused_path_ok(self, attn_type: str, hd_qk: int) -> bool:
+        """The fused RMSNorm+RoPE flash kernel serves the production config
+        (reference published runs: softmax_flash + RoPE2d, no experiments);
+        every other combination takes the general unfused path."""
+        return (attn_type == "softmax_flash" and self.dual
+                and not self.kv_merge_attn and not self.qk_half_dim
+                and self.positional_encoding in ("RoPE", "RoPE2d", "NoPE",
+                                                 "absolute")
+                and hd_qk % 2 == 0 and 128 % hd_qk == 0)
+
+    def _fused_angles(self, n_img: int, hd: int, hw):
+        pe = self.positional_encoding
+        interp = 1.0 / self.rope_scale
+        if pe == "RoPE":
+            return rope_lib.rope1d_angles(n_img, hd, interp)
+        if pe == "RoPE2d":
+            h, w = hw
+            factor = interp if self.rope2d_interpolate else 1.0
+            return rope_lib.rope2d_axial_angles(h, w, hd, factor).reshape(
+                n_img, hd)
+        return None  # absolute / NoPE
+
+    def _fused_call(self, x, c, hw, scale, hd):
+        """Fused path: raw projections go straight to the Pallas kernel,
+        which applies q/k RMSNorm + image-only RoPE in VMEM
+        (ops/fused_attention.py). Same param tree as the unfused path."""
+        n, m = x.shape[1], c.shape[1]
+        q = jnp.concatenate([self._dense(self.dim, "query_proj_x")(x),
+                             self._dense(self.dim, "query_proj_c")(c)], axis=1)
+        k = jnp.concatenate([self._dense(self.dim, "key_proj_x")(x),
+                             self._dense(self.dim, "key_proj_c")(c)], axis=1)
+        v = jnp.concatenate([self._dense(self.dim, "value_proj_x")(x),
+                             self._dense(self.dim, "value_proj_c")(c)], axis=1)
+        w_q_img = RMSNorm(hd, name="q_norm_x", param_dtype=self.param_dtype)()
+        w_k_img = RMSNorm(hd, name="k_norm_x", param_dtype=self.param_dtype)()
+        w_q_txt = RMSNorm(hd, name="q_norm_c", param_dtype=self.param_dtype)()
+        w_k_txt = RMSNorm(hd, name="k_norm_c", param_dtype=self.param_dtype)()
+        angles = self._fused_angles(n, hd, hw)
+        out = fused_dual_flash_attention(
+            q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
+            self.num_heads, w_q_img, w_q_txt, w_k_img, w_k_txt,
+            angles, n, scale)
+        out_x = self._dense(self.dim, "out_proj_x")(out[:, :n])
+        out_c = out[:, n:]
+        if not self.last:
+            out_c = self._dense(self.dim, "out_proj_c")(out_c)
+        return out_x, out_c
+
     @nn.compact
     def __call__(self, x, c=None, hw: tuple[int, int] | None = None):
         """x: (B, N, dim) image tokens; c: (B, M, dim) text tokens (dual).
@@ -191,6 +242,9 @@ class JointAttention(nn.Module):
 
         def unheads(t):
             return t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], -1)
+
+        if self._fused_path_ok(attn_type, hd_qk):
+            return self._fused_call(x, c, hw, scale, hd_qk)
 
         if self.dual:
             assert c is not None

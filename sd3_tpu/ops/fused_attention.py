@@ -1,0 +1,320 @@
+"""Fused qk-RMSNorm + RoPE + flash attention for the MMDiT joint sequence.
+
+The reference gets flash-attn "for free" as a CUDA dependency
+(src/blocks/Attention.py:287-293) and runs RMSNorm (Attention.py:61-67) and
+RoPE (Attention.py:164-240) as separate CUDA kernels. Round-1 profiling here
+showed the TPU port paying for that separation twice over:
+
+1. head_dim 64 was zero-padded to the 128-lane width in HBM, doubling the
+   attention HBM traffic (and the wrapper's pad/slice passes);
+2. q/k made two extra HBM round-trips per layer for RMSNorm + RoPE.
+
+This kernel fixes both:
+
+- **Head packing**: `p = 128 // head_dim` heads ride in one 128-lane block
+  (two for the published head_dim=64). Packing is free — heads are adjacent
+  in the QKV projection output, so the (B, N, H*D) -> (B*G, N, p*D) reshape
+  replaces the head-split transpose the unfused path does anyway. Sub-head
+  dots contract over the true head_dim (no zero multiplication), all loads/
+  stores and VPU work run at full lane occupancy.
+- **In-VMEM RoPE + RMSNorm**: raw post-projection q/k enter the kernel; the
+  per-head RMSNorm and the interleaved-pair rotation are applied in VMEM
+  right before the score matmul. The RMSNorm weight is folded into per-lane
+  cos'/sin' tables (cos' = W.cos, sin' = swap_pairs(W).sin, exact because
+  rotation pairs never straddle head boundaries), and text rows get
+  cos=W, sin=0 — so image-only RoPE ("no positional encoding for the text",
+  Attention.py:240) and the per-stream norm weights need no in-kernel
+  branching at all.
+
+Backward: the custom VJP recomputes through an equivalent XLA composition
+(rms -> rope -> ops.flash_attention, which supplies its own Pallas backward),
+so training gradients — including the RMSNorm weight grads — are exact
+without a hand-written fused backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sd3_tpu.ops.flash_attention import (_cdiv, _round_up, _dot, _kv_mask,
+                                         _use_interpret, flash_attention,
+                                         DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                         NEG_INF)
+
+
+def _pack_factor(head_dim: int) -> int:
+    """Heads per 128-lane block (1 if head_dim doesn't tile the lane width)."""
+    if head_dim <= 128 and 128 % head_dim == 0:
+        return 128 // head_dim
+    return 1
+
+
+def _rot_half_lanes(x, interpret: bool):
+    """Interleaved-pair rotate-half on the lane axis of (rows, P):
+    (x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...).
+
+    Compiled path: two lane rolls + parity select (full VPU width; pairs never
+    straddle head boundaries because head_dim is even). Interpreter path: the
+    reshape formulation (no tiling constraints off-TPU).
+    """
+    if interpret:
+        y = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+        return jnp.stack([-y[..., 1], y[..., 0]], axis=-1).reshape(x.shape)
+    P = x.shape[1]
+    left = pltpu.roll(x, shift=P - 1, axis=1)   # x[j+1] (shift must be >= 0)
+    right = pltpu.roll(x, shift=1, axis=1)      # x[j-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane % 2 == 0, -left, right)
+
+
+def _prep(x_raw, cos, sin, eps, p, hd, interpret):
+    """RMSNorm (per packed head) + folded-weight rotation. Returns fp32."""
+    xf = x_raw.astype(jnp.float32)
+    if p == 1:
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        rs = jax.lax.rsqrt(ms + eps)
+    else:
+        parts = []
+        for t in range(p):
+            s = xf[:, t * hd:(t + 1) * hd]
+            ms = jnp.mean(s * s, axis=-1, keepdims=True)
+            parts.append(jnp.broadcast_to(jax.lax.rsqrt(ms + eps), s.shape))
+        rs = jnp.concatenate(parts, axis=-1)
+    xn = xf * rs
+    c = cos.astype(jnp.float32)
+    s = sin.astype(jnp.float32)
+    return xn * c + _rot_half_lanes(xn, interpret) * s
+
+
+def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                      o_ref, *, scale, block_k, kv_len, p, hd,
+                      eps_q, eps_k, interpret):
+    bq = q_ref.shape[1]
+    dt = q_ref.dtype
+    qh = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd,
+               interpret).astype(dt)
+    m_len = k_ref.shape[1]
+    num_kb = m_len // block_k
+
+    if num_kb == 1:
+        # single-KV-block fast path: plain softmax, no online rescaling
+        kh = _prep(k_ref[0], ck_ref[...], sk_ref[...], eps_k, p, hd,
+                   interpret).astype(dt)
+        v = v_ref[0]
+        mask = _kv_mask(0, block_k, kv_len, bq)
+        outs = []
+        for t in range(p):
+            sl = slice(t * hd, (t + 1) * hd)
+            s = _dot(qh[:, sl], kh[:, sl], trans_b=True) * scale
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            pb = jnp.exp(s - m)
+            l = jnp.sum(pb, axis=-1, keepdims=True)
+            outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dt)
+        return
+
+    ms = [jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(p)]
+    ls = [jnp.zeros((bq, 1), jnp.float32) for _ in range(p)]
+    accs = [jnp.zeros((bq, hd), jnp.float32) for _ in range(p)]
+    for j in range(num_kb):
+        rows = pl.ds(j * block_k, block_k)
+        kh = _prep(k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
+                   eps_k, p, hd, interpret).astype(dt)
+        v = v_ref[0, rows, :]
+        mask = _kv_mask(j, block_k, kv_len, bq)
+        for t in range(p):
+            sl = slice(t * hd, (t + 1) * hd)
+            s = _dot(qh[:, sl], kh[:, sl], trans_b=True) * scale
+            if mask is not None:
+                s = s + mask
+            m_new = jnp.maximum(ms[t], jnp.max(s, axis=-1, keepdims=True))
+            pb = jnp.exp(s - m_new)
+            alpha = jnp.exp(ms[t] - m_new)
+            ls[t] = ls[t] * alpha + jnp.sum(pb, axis=-1, keepdims=True)
+            accs[t] = accs[t] * alpha + _dot(pb.astype(dt), v[:, sl])
+            ms[t] = m_new
+    o_ref[0] = jnp.concatenate(
+        [accs[t] / ls[t] for t in range(p)], axis=-1).astype(dt)
+
+
+def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
+                  num_heads, block_q_cap=DEFAULT_BLOCK_Q,
+                  single_kv_max=2048):
+    """q,k,v: (B, N, H*D) raw projections; tables: (N, D). Joint self-attn."""
+    b, n, f = q.shape
+    d = f // num_heads
+    p = _pack_factor(d)
+    hp = _round_up(num_heads, p)
+    g = hp // p
+    P = p * d
+
+    if hp != num_heads:  # odd head count: ride a zero dummy head (published
+        fpad = hp * d    # H=19 -> 10 groups; ~5% waste, no layout gather)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, fpad - f)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, fpad - f)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, fpad - f)))
+
+    def pack(x):  # the same transpose the unfused head-split pays
+        return x.reshape(b, n, g, P).transpose(0, 2, 1, 3).reshape(b * g, n, P)
+
+    qp, kp, vp = pack(q), pack(k), pack(v)
+
+    # Blocking (same policy as ops.flash_attention.flash_attention)
+    n_pad = _round_up(n, 128)
+    bq = 128
+    for cand in range(128, min(block_q_cap, n_pad) + 1, 128):
+        if n_pad % cand == 0:
+            bq = cand
+    if _round_up(n, 128) <= single_kv_max:
+        block_k = _round_up(n, 128)
+    else:
+        block_k = min(DEFAULT_BLOCK_K, _round_up(n, 128))
+    m_pad = _round_up(n, block_k)
+
+    qp = jnp.pad(qp, ((0, 0), (0, n_pad - n), (0, 0)))
+    kp = jnp.pad(kp, ((0, 0), (0, m_pad - n), (0, 0)))
+    vp = jnp.pad(vp, ((0, 0), (0, m_pad - n), (0, 0)))
+
+    tdt = q.dtype  # f32 tests stay exact; bf16 runtime halves table VMEM
+    def tiles(t, rows):
+        t = jnp.tile(t.astype(tdt), (1, p))
+        return jnp.pad(t, ((0, rows - n), (0, 0)))
+
+    cq, sq = tiles(cosq, n_pad), tiles(sinq, n_pad)
+    ck, sk = tiles(cosk, m_pad), tiles(sink, m_pad)
+
+    interpret = _use_interpret()
+    kernel = functools.partial(
+        _fused_fwd_kernel, scale=scale, block_k=block_k, kv_len=n, p=p, hd=d,
+        eps_q=eps_q, eps_k=eps_k, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * g, n_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0)),
+            pl.BlockSpec((1, m_pad, P), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((1, m_pad, P), lambda gi, qi: (gi, 0, 0)),
+            pl.BlockSpec((bq, P), lambda gi, qi: (qi, 0)),
+            pl.BlockSpec((bq, P), lambda gi, qi: (qi, 0)),
+            pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0)),
+            pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * g, n_pad, P), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, cq, sq, ck, sk)
+
+    out = out[:, :n].reshape(b, g, n, P).transpose(0, 2, 1, 3)
+    return out.reshape(b, n, hp * d)[:, :, :f]
+
+
+def _composition(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
+                 num_heads):
+    """XLA twin of the fused kernel (drives the backward pass; also the
+    correctness oracle in tests)."""
+    b, n, f = q.shape
+    d = f // num_heads
+
+    def heads(x):
+        return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+
+    def prep(x, cos, sin, eps):
+        xf = x.astype(jnp.float32)
+        rs = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        xn = xf * rs
+        y = xn.reshape(*xn.shape[:-1], d // 2, 2)
+        rot = jnp.stack([-y[..., 1], y[..., 0]], axis=-1).reshape(xn.shape)
+        out = xn * cos[None, None].astype(jnp.float32) \
+            + rot * sin[None, None].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    qh = prep(heads(q), cosq, sinq, eps_q)
+    kh = prep(heads(k), cosk, sink, eps_k)
+    o = flash_attention(qh, kh, heads(v), scale)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _fused_core(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
+                num_heads):
+    return _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q,
+                         eps_k, num_heads)
+
+
+def _fused_core_fwd(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
+                    num_heads):
+    out = _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q,
+                        eps_k, num_heads)
+    return out, (q, k, v, cosq, sinq, cosk, sink)
+
+
+def _fused_core_bwd(scale, eps_q, eps_k, num_heads, res, g):
+    q, k, v, cosq, sinq, cosk, sink = res
+    f = functools.partial(_composition, scale=scale, eps_q=eps_q,
+                          eps_k=eps_k, num_heads=num_heads)
+    _, vjp = jax.vjp(f, q, k, v, cosq, sinq, cosk, sink)
+    return vjp(g)
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def rope_row_tables(angles_img, n: int, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full-sequence (n, d) cos/sin with identity rows for the text tokens
+    (rows >= n_img): cos=1, sin=0 makes the in-kernel rotation a no-op there."""
+    cos = np.ones((n, d), np.float32)
+    sin = np.zeros((n, d), np.float32)
+    if angles_img is not None:
+        a = np.asarray(angles_img, np.float32)
+        n_img = a.shape[0]
+        cos[:n_img] = np.cos(a)
+        sin[:n_img] = np.sin(a)
+    return cos, sin
+
+
+def _swap_pairs(w):
+    return w.reshape(*w.shape[:-1], w.shape[-1] // 2, 2)[..., ::-1].reshape(w.shape)
+
+
+def fused_dual_flash_attention(q, k, v, num_heads: int,
+                               w_q_img, w_q_txt, w_k_img, w_k_txt,
+                               angles_img, n_img: int, scale: float,
+                               use_pallas: bool = True):
+    """Joint-sequence attention with fused per-head RMSNorm + image-only RoPE.
+
+    q, k, v: (B, N, num_heads*D) raw projection outputs; rows [0, n_img) are
+    image tokens, the rest text. w_*_img / w_*_txt: (D,) RMSNorm weights of
+    the image / text stream (reference Attention.py:61-67). angles_img:
+    (n_img, D) numpy rotation angles (None = no positional encoding).
+    """
+    b, n, f = q.shape
+    d = f // num_heads
+    cos_np, sin_np = rope_row_tables(angles_img, n, d)
+
+    # Fold the per-stream RMSNorm weights into the rotation tables:
+    # rope(rms(x)*W) == rms(x)*(W.cos) + rot_half(rms(x))*(swap(W).sin).
+    row_img = (np.arange(n) < n_img)[:, None]  # (n, 1) static
+    w_q = jnp.where(row_img, w_q_img.astype(jnp.float32)[None, :],
+                    w_q_txt.astype(jnp.float32)[None, :])
+    w_k = jnp.where(row_img, w_k_img.astype(jnp.float32)[None, :],
+                    w_k_txt.astype(jnp.float32)[None, :])
+    cosq = cos_np * w_q
+    sinq = sin_np * _swap_pairs(w_q)
+    cosk = cos_np * w_k
+    sink = sin_np * _swap_pairs(w_k)
+
+    eps_q = float(jnp.finfo(q.dtype).eps)
+    eps_k = float(jnp.finfo(k.dtype).eps)
+    if not use_pallas:
+        return _composition(q, k, v, cosq, sinq, cosk, sink, scale,
+                            eps_q, eps_k, num_heads)
+    return _fused_core(q, k, v, cosq, sinq, cosk, sink, float(scale),
+                       eps_q, eps_k, num_heads)

@@ -50,15 +50,23 @@ def layer_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 
 class RMSNorm(nn.Module):
-    """RMSNorm with a learnable elementwise weight (torch.nn.RMSNorm default)."""
+    """RMSNorm with a learnable elementwise weight (torch.nn.RMSNorm default).
+
+    Calling with x=None returns the weight parameter without normalizing —
+    used by the fused attention path (ops/fused_attention.py), which applies
+    the normalization inside the Pallas kernel but must materialize the same
+    param tree as the unfused path.
+    """
 
     dim: int
     eps: float | None = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         weight = self.param("weight", nn.initializers.ones, (self.dim,), self.param_dtype)
+        if x is None:
+            return weight
         return rms_norm(x, weight, self.eps)
 
 

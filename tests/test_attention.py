@@ -41,6 +41,7 @@ ATTN_CASES = [
     ("cosine2", "NoPE", False, False),
     ("cosine3", "NoPE", False, False),
     ("cosine4", "NoPE", False, False),
+    ("cosine4", "NoPE", False, True),      # qk_half: scale stays hd_v**-0.5
     ("cosine_norm", "NoPE", False, False),
     ("relu", "NoPE", False, False),
     ("silu", "NoPE", False, False),
