@@ -6,10 +6,18 @@ encoders and streams results over NCCL p2p. On TPU the encoders are jitted
 XLA programs that run on the SAME chips between training steps (they are tiny
 next to a 1.2B-param train step), or offline in a precompute pass; the host
 pipeline only decodes/collates. One compiled encode program per bucket shape.
+
+Encoder selection is EXPLICIT: real weights come from `weights_dir` (or the
+SD3_ENCODER_WEIGHTS env var, matching the reference's frozen-encoder loading
+at VAE_T5_CLIP.py:419-441); stub embeddings must be requested with
+`stub=True` (the train CLI's --stub_encoders). Requesting real training
+without weights is a hard error, never a silent stub fallback.
 """
 
 from __future__ import annotations
 
+import collections
+import os
 from typing import Iterator
 
 import jax
@@ -19,31 +27,74 @@ from sd3_tpu.data.pipeline import HostDataLoader, ParquetImageText
 from sd3_tpu.models.text_encoders import load_text_encoders
 
 
+def resolve_encoders(cfg, stub: bool = False, weights_dir: str | None = None):
+    """Pick the encoder suite for a training/inference run.
+
+    Priority: explicit stub > weights_dir arg > SD3_ENCODER_WEIGHTS env.
+    Raises if real encoders are requested (stub=False) but no weights exist.
+    """
+    if stub:
+        return load_text_encoders(stub=True, model_cfg=cfg)
+    weights_dir = weights_dir or os.environ.get("SD3_ENCODER_WEIGHTS")
+    if not weights_dir:
+        raise RuntimeError(
+            "real encoders requested but no weights directory given: set "
+            "SD3_ENCODER_WEIGHTS or pass --encoder_weights, or opt into "
+            "hash-stub embeddings explicitly with --stub_encoders")
+    if not os.path.isdir(weights_dir):
+        raise RuntimeError(f"encoder weights dir not found: {weights_dir}")
+    return load_text_encoders(weights_dir=weights_dir)
+
+
 def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
                        bucket_indices_path: str | None = None,
-                       encoders=None, seed: int = 0) -> Iterator[dict]:
+                       encoders=None, seed: int = 0,
+                       stub: bool = False, weights_dir: str | None = None,
+                       ring_workers: int = 0, loader=None) -> Iterator[dict]:
     """Yields trainer batches {x0, text, pooled} with a leading
-    accumulation-steps axis, encoding raw images/captions on device."""
-    encoders = encoders or load_text_encoders(stub=True)
-    ds = ParquetImageText(parquet_folder, bucket_indices_path)
-    loader = HostDataLoader(ds, batch_size=tcfg.batch_size, seed=seed)
+    accumulation-steps axis, encoding raw images/captions on device.
+
+    One optimizer step must be shape-uniform across its micro-steps (one
+    compiled program per bucket shape), so decoded batches are accumulated in
+    per-bucket queues and an accumulation group is emitted from whichever
+    bucket fills first — no decoded batch is ever discarded (the reference
+    gets this for free because its RandomBucketSampler draws
+    batchSize*num_batches from ONE bucket, dataset_utils.py:119-161).
+
+    ring_workers > 0 routes decode/collate through `ring_workers` separate
+    OS processes and the C++ shared-memory ring (sd3_tpu/native) instead of
+    in-process threads — the multi-core-host path.
+    """
+    if encoders is None:
+        encoders = resolve_encoders(cfg, stub=stub, weights_dir=weights_dir)
+    if loader is not None:
+        pass  # injected (tests)
+    elif ring_workers > 0:
+        from sd3_tpu.data.ringbuffer import RingDataLoader
+        loader = RingDataLoader(parquet_folder, batch_size=tcfg.batch_size,
+                                num_workers=ring_workers, seed=seed,
+                                bucket_indices_path=bucket_indices_path)
+    else:
+        ds = ParquetImageText(parquet_folder, bucket_indices_path)
+        loader = HostDataLoader(ds, batch_size=tcfg.batch_size, seed=seed)
     rng = jax.random.PRNGKey(seed)
 
+    pending: dict[str, list] = collections.defaultdict(list)
     while True:
-        x0s, texts, pooleds = [], [], []
-        bucket0 = None
-        while len(x0s) < tcfg.accumulation_steps:
+        try:
             batch = next(loader)
-            # one optimizer step must be shape-uniform across micro-steps
-            if bucket0 is None:
-                bucket0 = batch["bucket"]
-            elif batch["bucket"] != bucket0:
-                continue
-            rng, k = jax.random.split(rng)
-            lat = encoders.vae_encode(jax.numpy.asarray(batch["image"]), k)
-            hid, pooled = encoders.text_to_embedding(batch["caption"])
-            x0s.append(np.asarray(lat, np.float32))
-            texts.append(np.asarray(hid, np.float32))
-            pooleds.append(np.asarray(pooled, np.float32))
-        yield {"x0": np.stack(x0s), "text": np.stack(texts),
-               "pooled": np.stack(pooleds)}
+        except StopIteration:
+            return  # finite loader (tests); leftover partial groups dropped
+        rng, k = jax.random.split(rng)
+        lat = encoders.vae_encode(jax.numpy.asarray(batch["image"]), k)
+        hid, pooled = encoders.text_to_embedding(batch["caption"])
+        pending[batch["bucket"]].append(
+            (np.asarray(lat, np.float32), np.asarray(hid, np.float32),
+             np.asarray(pooled, np.float32)))
+        q = pending[batch["bucket"]]
+        if len(q) >= tcfg.accumulation_steps:
+            group, pending[batch["bucket"]] = (
+                q[:tcfg.accumulation_steps], q[tcfg.accumulation_steps:])
+            x0s, texts, pooleds = zip(*group)
+            yield {"x0": np.stack(x0s), "text": np.stack(texts),
+                   "pooled": np.stack(pooleds)}

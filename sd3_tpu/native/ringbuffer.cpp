@@ -1,18 +1,21 @@
-// Shared-memory SPSC ring buffer for host data loading.
+// Shared-memory MPSC ring buffer for host data loading.
 //
 // The reference hides preprocessing latency with dedicated loader GPUs
 // streaming batches over NCCL p2p, with per-consumer sender processes giving
 // backpressure (reference src/helpers/VAE_T5_CLIP.py:65-84,399-478). On TPU
 // the stream is host->device, so the equivalent runtime piece is a zero-copy
-// producer/consumer channel between a loader *process* (decode/collate,
+// producer/consumer channel between loader *processes* (decode/collate,
 // CPython parallelism without the GIL) and the trainer process, with the same
 // blocking backpressure semantics.
 //
 // Design: one POSIX shared-memory segment = header + S fixed-size slots.
-// Single producer / single consumer, lock-free via C11 atomics on
-// head/tail (acquire/release). Variable-length records (< slot payload) carry
-// their byte length. Blocking push/pop with sched_yield spinning + a
-// microsleep fallback; a `closed` flag unblocks both sides at shutdown.
+// MULTI-producer / single-consumer, lock-free via per-slot sequence numbers
+// (Vyukov bounded-queue protocol): a producer claims a slot with a CAS on
+// `head`, copies its payload, then publishes by bumping the slot's `seq`;
+// the consumer waits on the slot's `seq` so a claimed-but-unpublished slot
+// is never read. Variable-length records (< slot payload) carry their byte
+// length. Blocking push/pop with sched_yield spinning + a microsleep
+// fallback; a `closed` flag unblocks both sides at shutdown.
 //
 // Built as a plain C ABI .so driven from Python via ctypes
 // (sd3_tpu/data/ringbuffer.py). No pybind11 dependency by design.
@@ -35,15 +38,19 @@ struct Header {
   uint64_t magic;
   uint64_t slot_size;   // payload bytes per slot
   uint64_t num_slots;
-  std::atomic<uint64_t> head;   // next slot to write (producer)
-  std::atomic<uint64_t> tail;   // next slot to read (consumer)
+  std::atomic<uint64_t> head;   // next slot to claim (producers, CAS)
+  std::atomic<uint64_t> tail;   // next slot to read (single consumer)
   std::atomic<uint32_t> closed;
   uint32_t pad;
 };
 
-constexpr uint64_t kMagic = 0x5344335F52494E47ULL;  // "SD3_RING"
+constexpr uint64_t kMagic = 0x5344335F52494E32ULL;  // "SD3_RIN2" (v2: MPSC)
 
 struct Slot {
+  // Vyukov sequence: == index       -> empty, claimable by a producer
+  //                  == index + 1   -> full, readable by the consumer
+  // consumer resets to index + num_slots after reading (next lap's "empty").
+  std::atomic<uint64_t> seq;
   uint64_t len;
   // payload follows
 };
@@ -67,7 +74,7 @@ inline void backoff(int iter) {
 
 extern "C" {
 
-// Create (producer side) or open (consumer side) a ring. Returns the mapped
+// Create (consumer side) or open (producer side) a ring. Returns the mapped
 // header pointer, or null on failure.
 void* ring_create(const char* name, uint64_t slot_size, uint64_t num_slots) {
   uint64_t bytes = sizeof(Header) + num_slots * (sizeof(Slot) + slot_size);
@@ -89,6 +96,9 @@ void* ring_create(const char* name, uint64_t slot_size, uint64_t num_slots) {
   h->head.store(0);
   h->tail.store(0);
   h->closed.store(0);
+  for (uint64_t i = 0; i < num_slots; ++i) {
+    slot_at(h, i)->seq.store(i, std::memory_order_relaxed);
+  }
   return mem;
 }
 
@@ -113,23 +123,36 @@ uint64_t ring_slot_size(void* ring) {
   return reinterpret_cast<Header*>(ring)->slot_size;
 }
 
-// Blocking push. Returns 0 on success, -1 if closed, -2 if len > slot_size.
+// Blocking push; safe from any number of producer processes concurrently.
+// Returns 0 on success, -1 if closed, -2 if len > slot_size.
 int ring_push(void* ring, const void* data, uint64_t len) {
   auto* h = reinterpret_cast<Header*>(ring);
   if (len > h->slot_size) return -2;
   int iter = 0;
+  uint64_t pos = h->head.load(std::memory_order_relaxed);
   for (;;) {
     if (h->closed.load(std::memory_order_acquire)) return -1;
-    uint64_t head = h->head.load(std::memory_order_relaxed);
-    uint64_t tail = h->tail.load(std::memory_order_acquire);
-    if (head - tail < h->num_slots) {
-      Slot* s = slot_at(h, head);
-      s->len = len;
-      std::memcpy(reinterpret_cast<char*>(s) + sizeof(Slot), data, len);
-      h->head.store(head + 1, std::memory_order_release);
-      return 0;
+    Slot* s = slot_at(h, pos);
+    uint64_t seq = s->seq.load(std::memory_order_acquire);
+    int64_t dif = static_cast<int64_t>(seq) - static_cast<int64_t>(pos);
+    if (dif == 0) {
+      // Slot is empty for this lap; try to claim it.
+      if (h->head.compare_exchange_weak(pos, pos + 1,
+                                        std::memory_order_relaxed)) {
+        s->len = len;
+        std::memcpy(reinterpret_cast<char*>(s) + sizeof(Slot), data, len);
+        s->seq.store(pos + 1, std::memory_order_release);  // publish
+        return 0;
+      }
+      // CAS failed: pos was reloaded with the current head; retry.
+    } else if (dif < 0) {
+      // Slot still holds last lap's record: ring full -> backpressure.
+      backoff(iter++);
+      pos = h->head.load(std::memory_order_relaxed);
+    } else {
+      // Another producer claimed this position; chase the head.
+      pos = h->head.load(std::memory_order_relaxed);
     }
-    backoff(iter++);
   }
 }
 
@@ -137,25 +160,26 @@ int ring_push(void* ring, const void* data, uint64_t len) {
 int64_t ring_peek(void* ring) {
   auto* h = reinterpret_cast<Header*>(ring);
   uint64_t tail = h->tail.load(std::memory_order_relaxed);
-  uint64_t head = h->head.load(std::memory_order_acquire);
-  if (head == tail) return -1;
-  return static_cast<int64_t>(slot_at(h, tail)->len);
+  Slot* s = slot_at(h, tail);
+  if (s->seq.load(std::memory_order_acquire) != tail + 1) return -1;
+  return static_cast<int64_t>(s->len);
 }
 
-// Blocking pop into out (cap bytes). Returns record length, -1 if closed and
-// drained, -2 if cap too small (record left in place).
+// Blocking pop into out (cap bytes); single consumer. Returns record length,
+// -1 if closed and drained, -2 if cap too small (record left in place).
 int64_t ring_pop(void* ring, void* out, uint64_t cap) {
   auto* h = reinterpret_cast<Header*>(ring);
   int iter = 0;
   for (;;) {
     uint64_t tail = h->tail.load(std::memory_order_relaxed);
-    uint64_t head = h->head.load(std::memory_order_acquire);
-    if (head != tail) {
-      Slot* s = slot_at(h, tail);
+    Slot* s = slot_at(h, tail);
+    if (s->seq.load(std::memory_order_acquire) == tail + 1) {
       if (s->len > cap) return -2;
       std::memcpy(out, reinterpret_cast<char*>(s) + sizeof(Slot), s->len);
       uint64_t len = s->len;
       h->tail.store(tail + 1, std::memory_order_release);
+      // Hand the slot back to producers for the next lap.
+      s->seq.store(tail + h->num_slots, std::memory_order_release);
       return static_cast<int64_t>(len);
     }
     if (h->closed.load(std::memory_order_acquire)) return -1;

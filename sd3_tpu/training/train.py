@@ -3,8 +3,10 @@
 Modes:
   --synthetic           train on random pre-encoded batches (smoke/bench)
   --data_parquet_folder train on a parquet dataset; images/captions are
-                        encoded by the frozen-encoder suite on device
-                        (stub encoders unless SD3_ENCODER_WEIGHTS is set)
+                        encoded by the frozen-encoder suite on device.
+                        Real weights come from --encoder_weights /
+                        $SD3_ENCODER_WEIGHTS; --stub_encoders opts into
+                        hash-stub embeddings (never a silent fallback).
 
 Published stage hyperparameters (reference train.py:9-80 / README.md:209-291):
   stage1: 256px  batch 140/chip-equivalent  acc 2
@@ -15,6 +17,7 @@ Published stage hyperparameters (reference train.py:9-80 / README.md:209-291):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import numpy as np
 
@@ -50,15 +53,38 @@ def build_argparser():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--data_parquet_folder", default=None)
     p.add_argument("--bucket_indices_path", default=None)
+    p.add_argument("--stub_encoders", action="store_true",
+                   help="use deterministic hash-stub embeddings instead of "
+                        "real frozen encoders (hermetic smoke runs only)")
+    p.add_argument("--encoder_weights", default=None,
+                   help="frozen-encoder weights dir (default: "
+                        "$SD3_ENCODER_WEIGHTS); required for real parquet "
+                        "training unless --stub_encoders")
+    p.add_argument("--ring_workers", type=int, default=0,
+                   help="decode/collate in N separate processes via the C++ "
+                        "shared-memory ring (0 = in-process threads)")
     # mesh
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
+    # multi-host (pod): every host runs this same script (the reference's
+    # torchrun/SLURM rendezvous, runjob_SLURM.sh:37-43)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize before backend use; "
+                        "each host loads its slice of the global batch")
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (auto-detected on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.multihost:
+        from sd3_tpu.parallel import multihost
+        multihost.initialize(args.coordinator_address, args.num_processes,
+                             args.process_id)
     import jax
     from sd3_tpu.config import published_config, tiny_config
     from sd3_tpu.parallel.mesh import MeshConfig
@@ -110,15 +136,28 @@ def main(argv=None):
                 args.loadDir, f"optim_{args.loadStep}s.msgpack")):
             trainer.restore_optimizer(args.loadDir, args.loadStep)
 
+    # Each host produces its process-local slice of the global batch
+    # (Trainer.shard_batch assembles the global array); single-process this
+    # is just the whole batch.
+    n_proc = jax.process_count()
+    assert tcfg.batch_size % n_proc == 0, (tcfg.batch_size, n_proc)
+    local_bs = tcfg.batch_size // n_proc
+    local_seed = args.seed + jax.process_index()
     if args.synthetic or not args.data_parquet_folder:
-        it = synthetic_batch_iter(cfg, tcfg.batch_size,
+        it = synthetic_batch_iter(cfg, local_bs,
                                   tcfg.accumulation_steps,
                                   args.stage_res, args.stage_res,
-                                  seed=args.seed)
+                                  seed=local_seed)
     else:
         from sd3_tpu.data.encoded import encoded_batch_iter
-        it = encoded_batch_iter(cfg, tcfg, args.data_parquet_folder,
-                                args.bucket_indices_path)
+        ltcfg = tcfg if n_proc == 1 else dataclasses.replace(
+            tcfg, batch_size=local_bs)
+        it = encoded_batch_iter(cfg, ltcfg, args.data_parquet_folder,
+                                args.bucket_indices_path,
+                                stub=args.stub_encoders,
+                                weights_dir=args.encoder_weights,
+                                ring_workers=args.ring_workers,
+                                seed=local_seed)
 
     final_step = trainer.train(it)
     trainer.save()

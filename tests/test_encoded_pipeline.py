@@ -45,6 +45,108 @@ def test_encoded_batch_iter_shapes(parquet_dir):
     assert np.isfinite(batch["x0"]).all()
 
 
+def test_encoder_selection_explicit():
+    """Real training must never silently fall back to stub encoders
+    (reference loads real frozen encoders at VAE_T5_CLIP.py:419-441)."""
+    from sd3_tpu.config import tiny_config
+    from sd3_tpu.data import encoded
+    from sd3_tpu.models.text_encoders import StubTextEncoders
+
+    cfg = tiny_config()
+    # explicit stub opt-in -> stub suite
+    assert isinstance(encoded.resolve_encoders(cfg, stub=True),
+                      StubTextEncoders)
+    # real requested, no weights anywhere -> hard error
+    env_backup = os.environ.pop("SD3_ENCODER_WEIGHTS", None)
+    try:
+        with pytest.raises(RuntimeError, match="stub_encoders"):
+            encoded.resolve_encoders(cfg, stub=False)
+        # weights dir given but missing -> hard error, not a stub
+        with pytest.raises(RuntimeError, match="not found"):
+            encoded.resolve_encoders(cfg, weights_dir="/nonexistent/w")
+        # weights dir exists -> the REAL loader is invoked with it
+        calls = {}
+
+        def fake_load(stub=False, weights_dir=None, model_cfg=None):
+            calls.update(stub=stub, weights_dir=weights_dir)
+            return StubTextEncoders()
+
+        orig = encoded.load_text_encoders
+        encoded.load_text_encoders = fake_load
+        try:
+            os.environ["SD3_ENCODER_WEIGHTS"] = "/tmp"
+            encoded.resolve_encoders(cfg)
+            assert calls == {"stub": False, "weights_dir": "/tmp"}
+        finally:
+            encoded.load_text_encoders = orig
+    finally:
+        os.environ.pop("SD3_ENCODER_WEIGHTS", None)
+        if env_backup is not None:
+            os.environ["SD3_ENCODER_WEIGHTS"] = env_backup
+
+
+class _IdEncoders:
+    """Encoders that thread a per-batch id through the pooled output."""
+    latent_channels = 4
+
+    def vae_encode(self, images, rng):
+        b, _, h, w = images.shape
+        return np.zeros((b, 4, h // 8, w // 8), np.float32)
+
+    def text_to_embedding(self, captions):
+        ids = np.array([[float(c.split()[-1])] for c in captions], np.float32)
+        hid = np.zeros((len(captions), 2, 8), np.float32)
+        return hid, ids
+
+
+def test_multibucket_accumulation_no_discard():
+    """Per-bucket queues: every decoded batch lands in exactly one emitted
+    accumulation group, groups are bucket-uniform, nothing is dropped."""
+    from sd3_tpu.config import tiny_config
+    from sd3_tpu.data.encoded import encoded_batch_iter
+    from sd3_tpu.training.trainer import TrainConfig
+
+    buckets = ["16x16", "24x16", "16x24"]
+    n_batches = 30
+
+    class FakeLoader:
+        def __init__(self):
+            self.i = 0
+
+        def __next__(self):
+            i = self.i
+            self.i += 1
+            if i >= n_batches:
+                raise StopIteration
+            h, w = map(int, buckets[i % 3].split("x"))
+            return {"image": np.zeros((2, 3, h, w), np.float32),
+                    "caption": [f"id {i}", f"id {i}"],
+                    "bucket": buckets[i % 3]}
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, accumulation_steps=2)
+    it = encoded_batch_iter(cfg, tcfg, parquet_folder="",
+                            encoders=_IdEncoders(), loader=FakeLoader())
+    seen_ids = []
+    groups = 0
+    try:
+        while True:
+            g = next(it)
+            groups += 1
+            ids = g["pooled"][:, 0, 0].astype(int).tolist()
+            # group is bucket-uniform: consecutive round-robin ids from one
+            # bucket are exactly 3 apart
+            assert ids[1] - ids[0] == 3, ids
+            # latent spatial shape matches that bucket
+            h, w = map(int, buckets[ids[0] % 3].split("x"))
+            assert g["x0"].shape[-2:] == (h // 8, w // 8)
+            seen_ids.extend(ids)
+    except StopIteration:
+        pass
+    assert groups == n_batches // 2
+    assert sorted(seen_ids) == list(range(n_batches))  # zero discarded
+
+
 def test_ring_data_loader(parquet_dir):
     from sd3_tpu.data.ringbuffer import RingDataLoader
     loader = RingDataLoader(parquet_dir, batch_size=4, num_workers=1,

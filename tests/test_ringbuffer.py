@@ -55,6 +55,40 @@ for i in range(20):
 print("PRODUCED")
 """
 
+MULTI_PRODUCER = r"""
+import sys, numpy as np
+from sd3_tpu.data.ringbuffer import Ring
+ring = Ring.open(sys.argv[1])
+wid = int(sys.argv[2])
+for i in range(50):
+    ring.push_batch({"v": np.array([wid * 1000 + i], np.int64)})
+"""
+
+
+def test_multi_producer_no_loss_no_corruption():
+    """3 producer processes race into one ring (Vyukov claim protocol):
+    every record arrives exactly once, per-producer order preserved."""
+    name = f"/sd3mp_{os.getpid()}"
+    ring = Ring.create(name, 1 << 12, 4)  # tiny ring -> heavy contention
+    procs = []
+    try:
+        for wid in range(3):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", MULTI_PRODUCER, name, str(wid)],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+        got = [int(ring.pop_batch()["v"][0]) for _ in range(150)]
+        per_worker = {w: [v % 1000 for v in got if v // 1000 == w]
+                      for w in range(3)}
+        for w in range(3):
+            assert per_worker[w] == list(range(50)), f"worker {w} reordered/lost"
+        for p in procs:
+            assert p.wait(timeout=60) == 0
+    finally:
+        ring.close()
+        for p in procs:
+            p.terminate()
+        ring.unlink()
+
 
 def test_cross_process_backpressure():
     name = f"/sd3x_{os.getpid()}"
