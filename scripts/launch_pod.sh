@@ -25,4 +25,4 @@ python -m sd3_tpu.training.train \
   --batchSize "$BATCH" --accumulation_steps "$ACC" \
   --data_parquet_folder "$DATA" --bucket_indices_path "$INDICES" \
   --saveDir "$SAVE" --totalSteps 1500000 --numSaveSteps 1000 \
-  --dp -1 --fsdp 4 --tp 1 "$@"
+  --dp -1 --fsdp 4 --tp 1 --multihost "$@"

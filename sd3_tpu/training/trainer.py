@@ -33,7 +33,7 @@ import optax
 from sd3_tpu.config import MMDiTConfig
 from sd3_tpu.models.mmdit import MMDiT
 from sd3_tpu.parallel.mesh import make_mesh, MeshConfig
-from sd3_tpu.parallel.sharding import (param_sharding_rules, batch_sharding,
+from sd3_tpu.parallel.sharding import (param_sharding_rules,
                                        replicated_sharding, shard_params)
 from sd3_tpu.training import flow
 from sd3_tpu.training.checkpoint import save_checkpoint
@@ -222,21 +222,34 @@ class Trainer:
 
         self.step = cfg.start_step
         self.rng = jax.random.fold_in(rng, 1)
-        self.logger = MetricsLogger(log_dir or tcfg.save_dir,
-                                    run_name=wandb_name,
-                                    run_id=cfg.wandb_id, use_wandb=use_wandb)
+        self.logger = MetricsLogger(
+            log_dir or tcfg.save_dir, run_name=wandb_name, run_id=cfg.wandb_id,
+            # wandb on the main process only (reference subgroup-main logging,
+            # model_trainer.py:321-338); per-host jsonl is kept everywhere
+            use_wandb=use_wandb and jax.process_index() == 0)
 
     def shard_batch(self, batch: dict) -> dict:
-        """device_put host batch with the batch axis over dp×fsdp."""
+        """Place a host batch with the batch axis sharded over dp×fsdp.
+
+        Single-process: a plain device_put. Multi-host (pod): `batch` is this
+        host's LOCAL rows and the global array is assembled with
+        `make_array_from_process_local_data` — the JAX-native replacement for
+        the reference's per-rank loader feeds (model_trainer.py:353-362).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        multi = jax.process_count() > 1
         out = {}
         for k, v in batch.items():
-            sh = batch_sharding(self.mesh, ndim=np.ndim(v))
             # micro-step axis first: shard axis 1 (the batch axis)
-            from jax.sharding import NamedSharding, PartitionSpec as P
             spec = [None] * np.ndim(v)
             if np.ndim(v) >= 2:
                 spec[1] = ("dp", "fsdp")
-            out[k] = jax.device_put(v, NamedSharding(self.mesh, P(*spec)))
+            sh = NamedSharding(self.mesh, P(*spec))
+            if multi:
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, np.asarray(v))
+            else:
+                out[k] = jax.device_put(v, sh)
         return out
 
     def train_step(self, batch: dict) -> dict:
@@ -285,8 +298,21 @@ class Trainer:
             load_artifact(load_dir, f"optim_{step}s.msgpack", template))
 
     def save(self):
-        save_checkpoint(self.tcfg.save_dir, self.cfg, self.params,
-                        ema_params=self.ema, opt_state=self.opt_state,
+        params, ema, opt = self.params, self.ema, self.opt_state
+        if jax.process_count() > 1:
+            # fsdp-sharded leaves are not host-addressable across processes:
+            # gather to replicated, then only the main process writes
+            # (reference main-rank saveModel, model_trainer.py:545-551).
+            rep = replicated_sharding(self.mesh)
+            with self.mesh:
+                gather = jax.jit(lambda t: t, out_shardings=rep)
+                params = gather(params)
+                ema = gather(ema) if ema is not None else None
+                opt = gather(opt)
+            if jax.process_index() != 0:
+                return
+        save_checkpoint(self.tcfg.save_dir, self.cfg, params,
+                        ema_params=ema, opt_state=opt,
                         scheduler_state={"step": self.step}, step=self.step,
                         wandb_id=self.logger.run_id)
         print(f"Saving model (step {self.step})")
