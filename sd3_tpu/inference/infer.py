@@ -84,7 +84,10 @@ def main(argv=None):
                                   weights_dir=None if args.stub_encoders
                                   else os.environ.get("SD3_ENCODER_WEIGHTS"),
                                   model_cfg=cfg)
-    rng = jax.random.PRNGKey(args.seed if args.seed != -1 else 0)
+    # seed -1 means "random" (reference infer.py default): draw host entropy
+    # outside jit rather than pinning PRNGKey(0).
+    seed = args.seed if args.seed != -1 else int.from_bytes(os.urandom(4), "little")
+    rng = jax.random.PRNGKey(seed)
 
     out = sample_imgs(model, params, encoders, args.batch_size,
                       args.num_steps, args.text_input, args.guidance,

@@ -122,13 +122,16 @@ def export_to_torch_state_dict(params: Mapping) -> dict[str, np.ndarray]:
 
 def load_torch_checkpoint(load_dir: str, load_file: str,
                           def_file: str | None = None,
-                          update_max_res: int | None = None
+                          update_max_res: int | None = None,
+                          allow_unsafe_pickle: bool = False
                           ) -> tuple[MMDiTConfig | None, dict]:
     """Load a reference torch checkpoint (.pkl state_dict [+ params JSON]).
 
     Mirrors reference diff_model.loadModel (diff_model.py:553-579), including
     the MLP_type back-compat default and the update_max_res override.
-    Requires torch (CPU) to unpickle.
+    Requires torch (CPU) to unpickle. Plain tensor state_dicts load with
+    weights_only=True; arbitrary-code pickles (untrusted!) need an explicit
+    allow_unsafe_pickle=True opt-in.
     """
     import torch  # local import: torch is only needed for legacy checkpoints
 
@@ -139,8 +142,16 @@ def load_torch_checkpoint(load_dir: str, load_file: str,
             if update_max_res is not None:
                 overrides["max_res"] = update_max_res
             cfg = MMDiTConfig.from_json_dict(json.load(f), **overrides)
-    sd = torch.load(os.path.join(load_dir, load_file), map_location="cpu",
-                    weights_only=False)
+    path = os.path.join(load_dir, load_file)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_unsafe_pickle:
+            raise RuntimeError(
+                f"{load_file} is not a plain tensor state_dict "
+                f"(weights_only load failed: {e}); re-run with "
+                "allow_unsafe_pickle=True only if you trust its origin")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     return cfg, import_torch_state_dict(sd)
 
 
