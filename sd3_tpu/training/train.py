@@ -38,6 +38,9 @@ def build_argparser():
     p.add_argument("--null_prob_gemma", type=float, default=0.316)
     p.add_argument("--null_prob_bert", type=float, default=0.316)
     p.add_argument("--text_loss_weight", type=float, default=0.0)
+    p.add_argument("--bf16_grad_accum", action="store_true",
+                   help="carry gradient accumulation in bf16 (halves the "
+                        "scan-carry memory)")
     p.add_argument("--numSaveSteps", type=int, default=1000)
     p.add_argument("--saveDir", default="checkpoints/run")
     p.add_argument("--loadDir", default=None)
@@ -124,6 +127,7 @@ def main(argv=None):
         null_prob_gemma=args.null_prob_gemma,
         null_prob_bert=args.null_prob_bert,
         text_loss_weight=args.text_loss_weight,
+        bf16_grad_accum=args.bf16_grad_accum,
         log_steps=args.log_steps, num_save_steps=args.numSaveSteps,
         save_dir=args.saveDir, seed=args.seed,
         mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp),
