@@ -64,12 +64,22 @@ def bench_sampling(args):
     model, params = init_mmdit(cfg, jax.random.PRNGKey(0), remat_blocks=False)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M")
+    if args.quant == "int8":
+        # w8a8 projections (ops/quant.py): the MXU's int8 path peaks at ~2x
+        # bf16; weights quantized once here, activations per-token in-graph.
+        from sd3_tpu.ops.quant import quantize_params
+        params = jax.device_get(quantize_params(params))
+        model = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+        log("quantized projection/MLP kernels to int8 (w8a8 dynamic)")
     if args.cast_params and args.dtype == "bfloat16":
         # inference-only: bf16 weights halve HBM weight traffic and skip the
-        # per-matmul f32->bf16 conversion
+        # per-matmul f32->bf16 conversion. int8 kernels and the dequant
+        # scales keep their dtypes.
         import jax.numpy as _jnp
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(_jnp.bfloat16), params)
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, p: p if (not _jnp.issubdtype(p.dtype, _jnp.floating)
+                                  or "kernel_scale" in jax.tree_util.keystr(path))
+            else p.astype(_jnp.bfloat16), params)
 
     b = args.batch
     lat = args.res // 8
@@ -167,6 +177,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--attn", default="softmax_flash",
                    choices=["softmax", "softmax_flash"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"])
     p.add_argument("--cast_params", action="store_true", default=True)
     p.add_argument("--no_cast_params", dest="cast_params",
                    action="store_false")

@@ -79,8 +79,14 @@ class MMDiTConfig:
     # height=256/patch_size=2 at diff_model.py:192-204).
     pos_embed_max_size: int = 256
     pos_embed_base_size: int = 128
+    # Inference-only quantization of the projection/MLP matmuls ("none" or
+    # "int8"). Runtime choice, deliberately NOT persisted in checkpoint JSON —
+    # checkpoints always store float weights; convert with
+    # ops/quant.py::quantize_params.
+    quant: str = "none"
 
     def __post_init__(self):
+        assert self.quant in ("none", "int8"), self.quant
         assert self.attn_type in ATTN_TYPES, self.attn_type
         assert self.positional_encoding in POS_ENCODINGS, self.positional_encoding
         assert self.MLP_type in MLP_TYPES, self.MLP_type

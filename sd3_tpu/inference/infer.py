@@ -44,6 +44,9 @@ def build_argparser():
     p.add_argument("--stub_encoders", action="store_true")
     p.add_argument("--ema", action="store_true",
                    help="load the EMA weights (published inference artifact)")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: run projection/MLP matmuls w8a8 on the MXU's "
+                        "double-rate int8 path (ops/quant.py; lossy)")
     return p
 
 
@@ -80,6 +83,11 @@ def main(argv=None):
     from sd3_tpu.inference.sampler import sample_imgs
 
     model, params, cfg = load_model(args)
+    if args.quant == "int8":
+        from sd3_tpu.models.mmdit import MMDiT
+        from sd3_tpu.ops.quant import quantize_params
+        params = quantize_params(params)
+        model = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
     encoders = load_text_encoders(stub=args.stub_encoders,
                                   weights_dir=None if args.stub_encoders
                                   else os.environ.get("SD3_ENCODER_WEIGHTS"),

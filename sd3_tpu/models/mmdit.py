@@ -69,7 +69,7 @@ class DualStreamBlock(nn.Module):
             rope_scale=cfg.rope_scale, kv_merge_attn=cfg.kv_merge_attn,
             qk_half_dim=cfg.qk_half_dim, layer_idx=self.layer_idx, dual=True,
             last=self.last, rope2d_interpolate=cfg.rope2d_interpolate,
-            dtype=dtype, name="attn")
+            dtype=dtype, quant=cfg.quant, name="attn")
 
         x_a, c_a = attn(norm("norm1_x")(x, y), norm("norm1_c")(c, y), hw)
         x = x_a * gate("scale1_x")(y)[:, None, :] + x
@@ -77,7 +77,7 @@ class DualStreamBlock(nn.Module):
             c = c_a * gate("scale1_c")(y)[:, None, :] + c
 
         mlp = lambda name: MLP(dim, cfg.hidden_scale, act=cfg.MLP_type,
-                               dtype=dtype, name=name)
+                               dtype=dtype, quant=cfg.quant, name=name)
         x = mlp("MLP_x")(norm("norm2_x")(x, y)) * gate("scale2_x")(y)[:, None, :] + x
         if not self.last:
             c = mlp("MLP_c")(norm("norm2_c")(c, y)) * gate("scale2_c")(y)[:, None, :] + c

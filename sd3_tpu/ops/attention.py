@@ -30,6 +30,7 @@ from sd3_tpu.ops.norms import RMSNorm
 from sd3_tpu.ops import rope as rope_lib
 from sd3_tpu.ops.flash_attention import flash_attention
 from sd3_tpu.ops.fused_attention import fused_dual_flash_attention
+from sd3_tpu.ops.quant import dense as quant_dense
 
 SOFTMAX_TYPES = ("softmax", "softmax_flash")
 
@@ -148,6 +149,7 @@ class JointAttention(nn.Module):
     rope2d_interpolate: bool = False   # see MMDiTConfig.rope2d_interpolate
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    quant: str = "none"                # "int8": w8a8 projections (ops/quant.py)
 
     def _resolved_attn_type(self) -> str:
         if self.attn_type == "both":
@@ -155,8 +157,8 @@ class JointAttention(nn.Module):
         return self.attn_type
 
     def _dense(self, feats, name):
-        return nn.Dense(feats, use_bias=False, name=name,
-                        dtype=self.dtype, param_dtype=self.param_dtype)
+        return quant_dense(feats, False, name, self.dtype, self.param_dtype,
+                           self.quant)
 
     def _apply_rope(self, t, hw):
         """Apply the configured RoPE variant to image-token q or k."""

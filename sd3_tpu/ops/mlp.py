@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from sd3_tpu.ops.quant import dense
+
 
 class SwiGLU(nn.Module):
     """Packed SwiGLU: y = w3(silu(w12(x)[..., :h]) * w12(x)[..., h:])."""
@@ -25,15 +27,16 @@ class SwiGLU(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        x12 = nn.Dense(2 * self.hidden, use_bias=True, name="w12",
-                       dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x12 = dense(2 * self.hidden, True, "w12", self.dtype,
+                    self.param_dtype, self.quant)(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         h = jax.nn.silu(x1) * x2
-        return nn.Dense(self.dim, use_bias=True, name="w3",
-                        dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        return dense(self.dim, True, "w3", self.dtype, self.param_dtype,
+                     self.quant)(h)
 
 
 class MLP(nn.Module):
@@ -50,26 +53,28 @@ class MLP(nn.Module):
     act: str = "swiglu"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.hidden_scale)
         if self.act == "swiglu":
             return SwiGLU(self.dim, hidden, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="MLP")(x)
+                          param_dtype=self.param_dtype, quant=self.quant,
+                          name="MLP")(x)
         elif self.act == "swiglu_old":
             # Same math; parameters live directly in this scope.
-            x12 = nn.Dense(2 * hidden, use_bias=True, name="w12",
-                           dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            x12 = dense(2 * hidden, True, "w12", self.dtype,
+                        self.param_dtype, self.quant)(x)
             x1, x2 = jnp.split(x12, 2, axis=-1)
             h = jax.nn.silu(x1) * x2
-            return nn.Dense(self.dim, use_bias=True, name="w3",
-                            dtype=self.dtype, param_dtype=self.param_dtype)(h)
+            return dense(self.dim, True, "w3", self.dtype, self.param_dtype,
+                         self.quant)(h)
         elif self.act == "gelu":
-            h = nn.Dense(hidden, use_bias=True, name="lin_up",
-                         dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            h = dense(hidden, True, "lin_up", self.dtype, self.param_dtype,
+                      self.quant)(x)
             h = jax.nn.gelu(h, approximate=False)
-            return nn.Dense(self.dim, use_bias=True, name="lin_down",
-                            dtype=self.dtype, param_dtype=self.param_dtype)(h)
+            return dense(self.dim, True, "lin_down", self.dtype,
+                         self.param_dtype, self.quant)(h)
         else:
             raise ValueError(f"unknown MLP act: {self.act}")

@@ -1,0 +1,129 @@
+"""Int8 w8a8 quantized-projection path (ops/quant.py).
+
+The float model is the correctness reference; int8 is a lossy inference
+accelerator, so these tests bound the quantization error rather than demand
+bit equality.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+import pytest
+
+from sd3_tpu.config import tiny_config
+from sd3_tpu.models.mmdit import MMDiT, init_mmdit
+from sd3_tpu.ops.quant import (Int8Dense, quantize_params, quantize_weight,
+                               int8_dense_apply, MLP_QUANT_NAMES,
+                               ATTN_QUANT_NAMES)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(32, 48)), jnp.float32)
+    wq, s = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and s.shape == (48,)
+    deq = wq.astype(jnp.float32) * s[None, :]
+    err = float(jnp.max(jnp.abs(deq - w)))
+    # max rounding error is half an LSB per channel
+    assert err <= float(jnp.max(s)) * 0.5 + 1e-6
+
+
+def test_int8_dense_matches_float():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 10, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 96)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(96,)) * 0.01, jnp.float32)
+    ref = x @ w + b
+    wq, s = quantize_weight(w)
+    got = int8_dense_apply(x, wq, s, b, jnp.float32)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+
+
+def test_int8_dense_module_tree_matches_conversion():
+    """Int8Dense's param tree is exactly what quantize_params emits."""
+    x = jnp.ones((2, 8), jnp.float32)
+    mod = Int8Dense(features=16, use_bias=True)
+    tree = mod.init(jax.random.PRNGKey(0), x)["params"]
+    float_tree = {"w12": {"kernel": jnp.ones((8, 16)), "bias": jnp.zeros((16,))}}
+    conv = quantize_params(float_tree)["w12"]
+    assert set(tree.keys()) == set(conv.keys()) == {"kernel_q", "kernel_scale",
+                                                    "bias"}
+    assert conv["kernel_q"].dtype == jnp.int8
+    # and the module consumes the converted tree
+    y = mod.apply({"params": conv}, x)
+    assert y.shape == (2, 16)
+
+
+def test_quantize_params_touches_only_target_layers():
+    cfg = tiny_config()
+    _, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params(params)
+
+    found = {"quant": 0, "float": 0}
+
+    def walk(node, name, parent):
+        if isinstance(node, dict):
+            target = (name in MLP_QUANT_NAMES
+                      or (name in ATTN_QUANT_NAMES and parent == "attn"))
+            if "kernel_q" in node:
+                assert target, (parent, name)
+                found["quant"] += 1
+            if "kernel" in node:
+                assert not target, (parent, name)
+                found["float"] += 1
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, k, name)
+
+    walk(qp, "", "")
+    # the MMDiT-level final projection shares the "out_proj" name but is NOT
+    # under an attn scope — it must stay float
+    assert "kernel" in qp["out_proj"]
+    # 2 blocks x (4 attn proj x 2 streams + 2 swiglu denses x 2 streams),
+    # minus the last block's missing out_proj_c / MLP_c
+    assert found["quant"] == 2 * 12 - 3, found
+    assert found["float"] > 0  # gates, adaln, embeddings stay float
+
+
+def test_quantized_sampler_runs():
+    """The jitted CFG sampling scan works end-to-end on the int8 model."""
+    from sd3_tpu.inference.sampler import make_sample_fn
+    cfg = tiny_config(attn_type="softmax")
+    _, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+    qmodel = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+    qparams = quantize_params(params)
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.inCh, 8, 8))
+    th = jnp.zeros((b, cfg.text_tokens, cfg.text_hidden_dim), jnp.float32)
+    tp = jnp.zeros((b, cfg.class_dim), jnp.float32)
+    fn = make_sample_fn(qmodel, 2, "euler")
+    lat = fn(qparams, x, th, tp, jax.random.PRNGKey(2), jnp.float32(4.0))
+    assert lat.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(lat)))
+
+
+@pytest.mark.parametrize("mlp_type", ["swiglu", "gelu"])
+def test_quantized_mmdit_close_to_float(mlp_type):
+    cfg = tiny_config(MLP_type=mlp_type, attn_type="softmax")
+    model, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+    qmodel = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+    qparams = quantize_params(params)
+
+    rng = np.random.default_rng(2)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, cfg.inCh, 16, 16)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(b,)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, cfg.text_tokens, cfg.text_hidden_dim)),
+                    jnp.float32)
+    cp = jnp.asarray(rng.normal(size=(b, cfg.class_dim)), jnp.float32)
+
+    ref = model.apply({"params": params}, x, t, c, cp)
+    got = qmodel.apply({"params": qparams}, x, t, c, cp)
+    assert got.shape == ref.shape
+    cos = float(jnp.sum(ref * got)
+                / (jnp.linalg.norm(ref) * jnp.linalg.norm(got)))
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert cos > 0.99, cos
+    assert rel < 0.15, rel
