@@ -68,7 +68,9 @@ def bench_sampling(args):
         # w8a8 projections (ops/quant.py): the MXU's int8 path peaks at ~2x
         # bf16; weights quantized once here, activations per-token in-graph.
         from sd3_tpu.ops.quant import quantize_params
-        params = jax.device_get(quantize_params(params))
+        # keep the quantized tree ON DEVICE — a device_get here would make
+        # every sampler call re-upload the weights through the axon tunnel
+        params = quantize_params(params)
         model = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
         log("quantized projection/MLP kernels to int8 (w8a8 dynamic)")
     if args.cast_params and args.dtype == "bfloat16":
@@ -183,7 +185,7 @@ def main():
                    action="store_false")
     p.add_argument("--train", action="store_true")
     p.add_argument("--remat_policy", default="nothing",
-                   choices=["nothing", "dots"])
+                   choices=["nothing", "dots", "attn", "dots_attn"])
     args = p.parse_args()
     result = bench_train(args) if args.train else bench_sampling(args)
     print(json.dumps(result), flush=True)

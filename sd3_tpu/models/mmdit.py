@@ -47,6 +47,7 @@ class DualStreamBlock(nn.Module):
     cfg: MMDiTConfig
     layer_idx: int
     last: bool = False
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, c, y, hw):
@@ -69,7 +70,8 @@ class DualStreamBlock(nn.Module):
             rope_scale=cfg.rope_scale, kv_merge_attn=cfg.kv_merge_attn,
             qk_half_dim=cfg.qk_half_dim, layer_idx=self.layer_idx, dual=True,
             last=self.last, rope2d_interpolate=cfg.rope2d_interpolate,
-            dtype=dtype, quant=cfg.quant, name="attn")
+            dtype=dtype, quant=cfg.quant, use_fused=self.fused_attn,
+            name="attn")
 
         x_a, c_a = attn(norm("norm1_x")(x, y), norm("norm1_c")(c, y), hw)
         x = x_a * gate("scale1_x")(y)[:, None, :] + x
@@ -92,8 +94,12 @@ class MMDiT(nn.Module):
     remat_blocks: bool = True
     # "nothing": recompute everything (min memory); "dots": save matmul
     # outputs (jax dots_with_no_batch_dims_saveable — ~25% faster backward
-    # for ~1GB extra at stage-1 shapes)
+    # for ~1GB extra at stage-1 shapes); "attn": save the per-block attention
+    # outputs (checkpoint_name "attn_out" — backward skips the O(n^2)
+    # attention recompute for (B, N, dim) per block); "dots_attn": both.
     remat_policy: str = "nothing"
+    # False for training (see JointAttention.use_fused)
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x_t, t, c, c_pooled,
@@ -156,15 +162,21 @@ class MMDiT(nn.Module):
         hw = (h // cfg.patch_size, w // cfg.patch_size)
         block_cls = DualStreamBlock
         if self.remat_blocks:
-            policy = None
-            if self.remat_policy == "dots":
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            cp = jax.checkpoint_policies
+            policy = {
+                "nothing": None,
+                "dots": cp.dots_with_no_batch_dims_saveable,
+                "attn": cp.save_only_these_names("attn_out"),
+                "dots_attn": cp.save_from_both_policies(
+                    cp.dots_with_no_batch_dims_saveable,
+                    cp.save_only_these_names("attn_out")),
+            }[self.remat_policy]
             block_cls = nn.remat(DualStreamBlock, static_argnums=(4,),
                                  prevent_cse=False, policy=policy)
         for i in range(cfg.num_blocks):
             last = (i == cfg.num_blocks - 1) and not cfg.text_loss
-            x, c_tok = block_cls(cfg, i, last, name=f"blocks_{i}")(
-                x, c_tok, y, hw)
+            x, c_tok = block_cls(cfg, i, last, self.fused_attn,
+                                 name=f"blocks_{i}")(x, c_tok, y, hw)
 
         x = AdaLNorm(cfg.dim, cfg.dim, name="out_norm", dtype=dtype)(x, y)
         x = nn.Dense(ch * cfg.patch_size ** 2, use_bias=True, name="out_proj",

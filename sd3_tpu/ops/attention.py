@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from sd3_tpu.ops.norms import RMSNorm
 from sd3_tpu.ops import rope as rope_lib
@@ -150,6 +151,11 @@ class JointAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     quant: str = "none"                # "int8": w8a8 projections (ops/quant.py)
+    # The fused RMSNorm+RoPE flash kernel is an INFERENCE optimization: its
+    # backward recomputes through the unfused composition, so under per-block
+    # remat a training step pays the attention forward ~3x. Trainers pass
+    # use_fused=False and keep the plain flash kernel (real two-kernel VJP).
+    use_fused: bool = True
 
     def _resolved_attn_type(self) -> str:
         if self.attn_type == "both":
@@ -179,7 +185,8 @@ class JointAttention(nn.Module):
         """The fused RMSNorm+RoPE flash kernel serves the production config
         (reference published runs: softmax_flash + RoPE2d, no experiments);
         every other combination takes the general unfused path."""
-        return (attn_type == "softmax_flash" and self.dual
+        return (self.use_fused
+                and attn_type == "softmax_flash" and self.dual
                 and not self.kv_merge_attn and not self.qk_half_dim
                 and self.positional_encoding in ("RoPE", "RoPE2d", "NoPE",
                                                  "absolute")
@@ -299,6 +306,10 @@ class JointAttention(nn.Module):
         attn = attention_core(
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
             attn_type, scale, causal=self.causal, norm_const=norm_const)
+        # Named so the "attn" remat policy (models/mmdit.py) can SAVE the
+        # attention output: the backward then never re-runs the O(n^2)
+        # attention, for (B, N, dim) extra memory per block.
+        attn = checkpoint_name(attn, "attn_out")
 
         if self.dual:
             attn_x, attn_c = attn[:, :, :n], attn[:, :, n:]

@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 DEFAULT_BLOCK_Q = 640    # cap; actual block is padding-aware (see wrapper)
@@ -269,6 +270,11 @@ def _flash_padded(q, k, v, scale, block_q, block_k, kv_len):
 
 def _flash_padded_fwd(q, k, v, scale, block_q, block_k, kv_len):
     out, lse = _fwd(q, k, v, scale, block_q, block_k, kv_len)
+    # Named so the "attn"/"dots_attn" remat policies (models/mmdit.py) can
+    # save the kernel output AND the logsumexp residual — with both saved the
+    # backward never re-runs the forward kernel.
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_out")
     return out, (q, k, v, out, lse)
 
 

@@ -93,7 +93,7 @@ def _prep(x_raw, cos, sin, eps, p, hd, interpret):
 
 
 def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                      o_ref, *, scale, block_k, kv_len, p, hd,
+                      o_ref, kprep_ref, *, scale, block_k, kv_len, p, hd,
                       eps_q, eps_k, interpret):
     bq = q_ref.shape[1]
     dt = q_ref.dtype
@@ -102,10 +102,26 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     m_len = k_ref.shape[1]
     num_kb = m_len // block_k
 
+    # K-side RMSNorm+RoPE depends only on the (batch, head-group) grid axis;
+    # the q-block axis is the fast axis, so prep K ONCE per group into VMEM
+    # scratch and reuse it for every q block. Without this the kernel redoes
+    # the full-K prep per q block — O(n^2/bq) VPU work that cost ~25%
+    # end-to-end at 1024px (17 q blocks over a 4352-row K). Prep runs in
+    # row chunks: whole-K fp32 temporaries blow the ~16MB scoped-VMEM stack
+    # at 1024px (4608 rows).
+    chunk = next(c for c in (1024, 512, 256, 128) if m_len % c == 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _prep_k():
+        for j0 in range(m_len // chunk):
+            rows = pl.ds(j0 * chunk, chunk)
+            kprep_ref[rows, :] = _prep(
+                k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
+                eps_k, p, hd, interpret).astype(dt)
+
     if num_kb == 1:
         # single-KV-block fast path: plain softmax, no online rescaling
-        kh = _prep(k_ref[0], ck_ref[...], sk_ref[...], eps_k, p, hd,
-                   interpret).astype(dt)
+        kh = kprep_ref[...]
         v = v_ref[0]
         mask = _kv_mask(0, block_k, kv_len, bq)
         outs = []
@@ -126,8 +142,7 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     accs = [jnp.zeros((bq, hd), jnp.float32) for _ in range(p)]
     for j in range(num_kb):
         rows = pl.ds(j * block_k, block_k)
-        kh = _prep(k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
-                   eps_k, p, hd, interpret).astype(dt)
+        kh = kprep_ref[rows, :]
         v = v_ref[0, rows, :]
         mask = _kv_mask(j, block_k, kv_len, bq)
         for t in range(p):
@@ -209,6 +224,7 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
         ],
         out_specs=pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * g, n_pad, P), q.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, P), q.dtype)],
         interpret=interpret,
     )(qp, kp, vp, cq, sq, ck, sk)
 

@@ -191,8 +191,11 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh or make_mesh(tcfg.mesh)
+        # fused_attn=False: the fused RMSNorm+RoPE kernel's backward recomputes
+        # through the unfused composition — a net loss under remat. Training
+        # keeps the plain flash kernel with its real two-kernel VJP.
         self.model = MMDiT(cfg, remat_blocks=True,
-                           remat_policy=tcfg.remat_policy)
+                           remat_policy=tcfg.remat_policy, fused_attn=False)
 
         rng = jax.random.PRNGKey(tcfg.seed)
         if params is None:

@@ -116,3 +116,24 @@ def test_remat_matches_no_remat():
         return jnp.mean(jnp.square(jm_remat.apply({"params": p}, *args)))
     g = jax.grad(loss)(params)
     assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_remat_policies_grad_identical():
+    """Every remat policy (incl. the named-attention-saving ones) produces
+    the same gradients — they only trade memory for recompute."""
+    cfg, _, jm, params = make_pair()
+    x, t, c, cp = make_inputs(cfg)
+    args = [jnp.asarray(v.numpy()) for v in (x, t, c, cp)]
+
+    def grad_for(policy):
+        m = MMDiT(cfg, remat_blocks=True, remat_policy=policy,
+                  fused_attn=False)
+        loss = lambda p: jnp.mean(jnp.square(m.apply({"params": p}, *args)))
+        return jax.grad(loss)(params)
+
+    ref = jax.tree_util.tree_leaves(grad_for("nothing"))
+    for policy in ("dots", "attn", "dots_attn"):
+        got = jax.tree_util.tree_leaves(grad_for(policy))
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
