@@ -22,10 +22,25 @@ class AdamWLowMemState(NamedTuple):
     nu: optax.Updates
 
 
+def global_norm_f32(tree) -> jax.Array:
+    """Global L2 norm with per-leaf fp32 upcast (safe for bf16 grad trees —
+    the squares/reductions are transient, no fp32 tree materializes)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
 def adamw_low_mem(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                  weight_decay=0.01,
-                  state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
-    """AdamW with low-precision moment storage (fp32 math)."""
+                  weight_decay=0.01, state_dtype=jnp.bfloat16,
+                  clip_norm=None) -> optax.GradientTransformation:
+    """AdamW with low-precision moment storage (fp32 math).
+
+    `clip_norm` folds global-norm clipping INTO the update (the clip scale
+    multiplies the per-leaf fp32 upcast) instead of an outer
+    optax.clip_by_global_norm — an outer clip would promote a bf16 grad tree
+    to fp32 between the two transforms, re-materializing the tree this
+    optimizer exists to avoid.
+    """
 
     def init(params):
         zeros = lambda p: jnp.zeros(p.shape, state_dtype)
@@ -40,8 +55,15 @@ def adamw_low_mem(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
         count = state.count + 1
         lr = learning_rate(count) if callable(learning_rate) else learning_rate
 
+        if clip_norm is not None:
+            gnorm = global_norm_f32(grads)
+            # optax.clip_by_global_norm semantics: scale only when over
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+        else:
+            scale = jnp.float32(1.0)
+
         def moments(g, mu, nu):
-            gf = g.astype(jnp.float32)
+            gf = g.astype(jnp.float32) * scale
             mu_f = b1 * mu.astype(jnp.float32) + (1 - b1) * gf
             nu_f = b2 * nu.astype(jnp.float32) + (1 - b2) * gf * gf
             return mu_f, nu_f
@@ -61,7 +83,7 @@ def adamw_low_mem(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
         # recompute nu (cheap elementwise; avoids carrying fp32 temporaries)
         new_nu = jax.tree_util.tree_map(
             lambda g, nu: (b2 * nu.astype(jnp.float32) +
-                           (1 - b2) * jnp.square(g.astype(jnp.float32))
+                           (1 - b2) * jnp.square(g.astype(jnp.float32) * scale)
                            ).astype(state_dtype),
             grads, state.nu)
         return updates, AdamWLowMemState(count, new_mu, new_nu)

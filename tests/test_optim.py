@@ -46,3 +46,44 @@ def test_low_mem_adamw_schedule_callable():
     # step 1: lr == sched(1)
     assert np.all(np.isfinite(np.asarray(u["w"])))
     assert state.count == 1
+
+
+def test_low_mem_adamw_folded_clip_tracks_outer_clip():
+    """clip_norm folded into adamw_low_mem matches an outer
+    optax.clip_by_global_norm + adamw chain."""
+    lr = 1e-2
+    ref = optax.chain(optax.clip_by_global_norm(0.5),
+                      optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                                  weight_decay=0.01))
+    low = adamw_low_mem(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+                        clip_norm=0.5)
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal(
+        (8, 8), dtype=np.float32))}
+    p_ref, p_low = params, params
+    s_ref, s_low = ref.init(p_ref), low.init(p_low)
+    rng = np.random.default_rng(1)
+    for i in range(5):
+        # alternate huge grads (clip engages) and tiny grads (clip inactive)
+        scale = 100.0 if i % 2 == 0 else 1e-3
+        g = {"w": jnp.asarray(
+            scale * rng.standard_normal((8, 8), dtype=np.float32))}
+        u_ref, s_ref = ref.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        u_low, s_low = low.update(g, s_low, p_low)
+        p_low = optax.apply_updates(p_low, u_low)
+    np.testing.assert_allclose(np.asarray(p_low["w"]), np.asarray(p_ref["w"]),
+                               atol=5e-3, rtol=5e-2)
+
+
+def test_low_mem_adamw_accepts_bf16_grads():
+    """bf16 grad trees update without dtype errors and stay close to fp32."""
+    low = adamw_low_mem(1e-2, clip_norm=1.0)
+    params = {"w": jnp.ones((16,), jnp.float32)}
+    s16, s32 = low.init(params), low.init(params)
+    g32 = {"w": jnp.full((16,), 0.123, jnp.float32)}
+    g16 = {"w": g32["w"].astype(jnp.bfloat16)}
+    u16, _ = low.update(g16, s16, params)
+    u32, _ = low.update(g32, s32, params)
+    assert u16["w"].dtype == jnp.float32  # updates in param dtype
+    np.testing.assert_allclose(np.asarray(u16["w"]), np.asarray(u32["w"]),
+                               rtol=1e-2, atol=1e-5)
