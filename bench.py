@@ -135,7 +135,8 @@ def bench_train(args):
     from sd3_tpu.training.trainer import Trainer, TrainConfig
     from sd3_tpu.data.pipeline import synthetic_batch_iter
 
-    cfg = published_config(stage_res=args.res).replace(dtype=args.dtype)
+    cfg = published_config(stage_res=args.res).replace(dtype=args.dtype,
+                                                       attn_type=args.attn)
     # bf16 Adam moments: 1.2B AdamW training needs >19G with fp32 moments —
     # more than one v5e's 16G (the reference trained on 80GB A100s); low-mem
     # states + the acc==1 fast path fit it on a single chip.
@@ -145,7 +146,8 @@ def bench_train(args):
                        save_dir="/tmp/bench_train", low_mem_optimizer=True,
                        track_ema=False, remat_policy=args.remat_policy,
                        bf16_grads=args.bf16_grads,
-                       bf16_grad_accum=args.bf16_grads)
+                       bf16_grad_accum=args.bf16_grads,
+                       remat_blocks=not args.no_remat)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, args.acc, args.res, args.res)
     import numpy as np
@@ -198,6 +200,9 @@ def main():
                    help="gradient accumulation steps (train bench)")
     p.add_argument("--bf16_grads", action="store_true",
                    help="bf16 gradient tree (train bench; frees 2.3GB)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="store block activations instead of recomputing "
+                        "(train bench; fits 256px batch<=16)")
     args = p.parse_args()
     result = bench_train(args) if args.train else bench_sampling(args)
     print(json.dumps(result), flush=True)

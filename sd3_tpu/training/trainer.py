@@ -73,6 +73,11 @@ class TrainConfig:
     # (~0.4% relative noise, same as a bf16 DDP all-reduce) is lossy.
     bf16_grads: bool = False
     remat_policy: str = "nothing"   # see MMDiT.remat_policy
+    # Per-block activation checkpointing (reference Transformer_Block_Dual
+    # checkpoint flags). False stores all block activations — at 256px
+    # batch<=16 they fit HBM and the backward skips the full forward
+    # recompute (~30% of the step under remat).
+    remat_blocks: bool = True
     save_dir: str = "checkpoints/run"
     seed: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -217,7 +222,7 @@ class Trainer:
         # fused_attn=False: the fused RMSNorm+RoPE kernel's backward recomputes
         # through the unfused composition — a net loss under remat. Training
         # keeps the plain flash kernel with its real two-kernel VJP.
-        self.model = MMDiT(cfg, remat_blocks=True,
+        self.model = MMDiT(cfg, remat_blocks=tcfg.remat_blocks,
                            remat_policy=tcfg.remat_policy, fused_attn=False)
 
         rng = jax.random.PRNGKey(tcfg.seed)
