@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--out_dir", default="output/generated")
     p.add_argument("--stub_encoders", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: generate with the w8a8 serving config — the "
+                        "bf16-vs-int8 FID drift gate (BASELINE.md)")
     args = p.parse_args(argv)
 
     import jax
@@ -41,6 +44,11 @@ def main(argv=None):
 
     args.torch_ckpt = None
     model, params, cfg = load_model(args)
+    if args.quant == "int8":
+        from sd3_tpu.models.mmdit import MMDiT
+        from sd3_tpu.ops.quant import quantize_params
+        params = quantize_params(params)
+        model = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
     encoders = load_text_encoders(stub=args.stub_encoders,
                                   weights_dir=os.environ.get("SD3_ENCODER_WEIGHTS"),
                                   model_cfg=cfg)

@@ -41,6 +41,16 @@ def build_argparser():
     p.add_argument("--bf16_grad_accum", action="store_true",
                    help="carry gradient accumulation in bf16 (halves the "
                         "scan-carry memory)")
+    p.add_argument("--bf16_grads", action="store_true",
+                   help="bf16 gradient tree on the acc==1 fast path (needs "
+                        "--low_mem_optimizer; frees 2.3GB at 1.2B params)")
+    p.add_argument("--low_mem_optimizer", action="store_true",
+                   help="bf16 Adam moments + clip folded into the update "
+                        "(1.2B AdamW fits one 16GB chip)")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots", "attn", "dots_attn"])
+    p.add_argument("--no_remat", action="store_true",
+                   help="store block activations instead of recomputing")
     p.add_argument("--numSaveSteps", type=int, default=1000)
     p.add_argument("--saveDir", default="checkpoints/run")
     p.add_argument("--loadDir", default=None)
@@ -128,6 +138,10 @@ def main(argv=None):
         null_prob_bert=args.null_prob_bert,
         text_loss_weight=args.text_loss_weight,
         bf16_grad_accum=args.bf16_grad_accum,
+        bf16_grads=args.bf16_grads,
+        low_mem_optimizer=args.low_mem_optimizer,
+        remat_policy=args.remat_policy,
+        remat_blocks=not args.no_remat,
         log_steps=args.log_steps, num_save_steps=args.numSaveSteps,
         save_dir=args.saveDir, seed=args.seed,
         mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp),

@@ -125,3 +125,24 @@ def test_flow_primitives():
     np.testing.assert_allclose(np.asarray(x_t0), np.asarray(x0), rtol=1e-6)
     # loss of perfect prediction is 0
     assert float(flow.velocity_loss(eps - x0, x0, eps)) == 0.0
+
+
+@pytest.mark.parametrize("kw", [
+    dict(low_mem_optimizer=True, bf16_grads=True, accumulation_steps=1),
+    dict(low_mem_optimizer=True, bf16_grads=True, bf16_grad_accum=True,
+         accumulation_steps=2),
+    dict(remat_blocks=False, accumulation_steps=1),
+])
+def test_memory_variant_trainers_learn(tmp_path, kw):
+    """bf16-grad / bf16-carry / no-remat trainer variants all decrease loss."""
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=4, total_steps=10, warmup_steps=2,
+                       ema_update_freq=10**9, log_steps=10**9,
+                       num_save_steps=10**9, lr=1e-3,
+                       save_dir=str(tmp_path), **kw)
+    tr = Trainer(cfg, tcfg, use_wandb=False, log_dir=str(tmp_path))
+    it = synthetic_batch_iter(cfg, 4, tcfg.accumulation_steps, 16, 16)
+    batch = tr.shard_batch(next(it))
+    losses = [float(tr.train_step(batch)["loss"]) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
