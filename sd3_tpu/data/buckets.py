@@ -46,7 +46,7 @@ class RandomBucketSampler:
     """Yields lists of row indices; every batch from a single bucket."""
 
     def __init__(self, buckets: dict, batch_size: int, seed: int = 0,
-                 first_n_largest: int = 0):
+                 first_n_largest: int = 0, bucket_seed: int | None = None):
         # Drop tiny buckets (reference keeps only len > 3*batch)
         self.buckets = [(k, np.asarray(v)) for k, v in buckets.items()
                         if len(v) > 3 * batch_size]
@@ -59,6 +59,12 @@ class RandomBucketSampler:
         total = sum(len(v) for _, v in self.buckets)
         self.probs = np.array([len(v) / total for _, v in self.buckets])
         self.rng = np.random.default_rng(seed)
+        # Bucket CHOICE draws from its own stream so multi-host training can
+        # share `bucket_seed` across hosts (every process must emit the same
+        # batch SHAPE each step for SPMD) while `seed` stays per-host for
+        # disjoint item picks.
+        self.bucket_rng = np.random.default_rng(
+            seed if bucket_seed is None else bucket_seed)
         self.first_n = first_n_largest
         # Largest bucket by H*W (reference dataset_utils.py:137-140)
         areas = [int(np.prod([int(s) for s in k.split("x")]))
@@ -74,7 +80,7 @@ class RandomBucketSampler:
                 self.first_n -= 1
                 bi = self.first_idx
             else:
-                bi = self.rng.choice(len(self.buckets), p=self.probs)
+                bi = self.bucket_rng.choice(len(self.buckets), p=self.probs)
             key, idxs = self.buckets[bi]
             sel = self.rng.choice(idxs, size=self.batch_size, replace=False)
             yield key, sel.tolist()

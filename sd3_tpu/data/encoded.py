@@ -50,7 +50,8 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
                        bucket_indices_path: str | None = None,
                        encoders=None, seed: int = 0,
                        stub: bool = False, weights_dir: str | None = None,
-                       ring_workers: int = 0, loader=None) -> Iterator[dict]:
+                       ring_workers: int = 0, loader=None,
+                       bucket_seed: int | None = None) -> Iterator[dict]:
     """Yields trainer batches {x0, text, pooled} with a leading
     accumulation-steps axis, encoding raw images/captions on device.
 
@@ -76,7 +77,15 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
                                 bucket_indices_path=bucket_indices_path)
     else:
         ds = ParquetImageText(parquet_folder, bucket_indices_path)
-        loader = HostDataLoader(ds, batch_size=tcfg.batch_size, seed=seed)
+        # bucket_seed set (multi-host): every host must emit the same batch
+        # SHAPE each step (SPMD), so bucket choice shares one RNG stream and
+        # decode runs single-threaded for deterministic emission order; item
+        # picks stay per-host via `seed`. The ring path does not yet
+        # guarantee cross-host order — multihost uses the in-process loader.
+        loader = HostDataLoader(ds, batch_size=tcfg.batch_size, seed=seed,
+                                bucket_seed=bucket_seed,
+                                num_threads=1 if bucket_seed is not None
+                                else 2)
     rng = jax.random.PRNGKey(seed)
 
     pending: dict[str, list] = collections.defaultdict(list)

@@ -46,10 +46,15 @@ def merge_captions_df(df: pd.DataFrame, long_map: dict, short_map: dict,
     """
     out = df[["id", "image"]].copy()
     recap, recap_short = [], []
+    def missing(v):
+        # jsonl rows with absent/null caption fields surface as None or
+        # float NaN after pandas — both mean "no caption"
+        return v is None or not isinstance(v, str)
+
     for _, row in df.iterrows():
         rid = str(row["id"])
         cap = long_map.get(rid)
-        if cap is None:
+        if missing(cap):
             try:
                 cap = row["conversations"][1]["value"]
             except Exception:
@@ -58,6 +63,8 @@ def merge_captions_df(df: pd.DataFrame, long_map: dict, short_map: dict,
                 errors.append(rid)
         cap = (cap or "").strip()
         short = short_map.get(rid)
+        if missing(short):
+            short = cap
         recap.append(cap)
         recap_short.append((short or cap).strip())
     out["recaption"] = recap

@@ -115,12 +115,14 @@ class HostDataLoader:
 
     def __init__(self, dataset: ParquetImageText, batch_size: int,
                  seed: int = 0, prefetch: int = 4, num_threads: int = 2,
-                 clean_captions: bool = False, first_n_largest: int = 1):
+                 clean_captions: bool = False, first_n_largest: int = 1,
+                 bucket_seed: int | None = None):
         assert dataset.buckets is not None, "dataset has no bucket_size column"
         self.ds = dataset
         self.sampler = RandomBucketSampler(dataset.buckets, batch_size,
                                            seed=seed,
-                                           first_n_largest=first_n_largest)
+                                           first_n_largest=first_n_largest,
+                                           bucket_seed=bucket_seed)
         self.clean = clean_captions
         self.rng = random.Random(seed)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)

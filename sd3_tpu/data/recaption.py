@@ -62,7 +62,14 @@ VLM_OPENINGS = [(a.capitalize(), b.capitalize() if b else b)
 
 
 def postprocess_caption(caption: str) -> str:
-    """Strip boilerplate VLM openings (recaption_parquets.py:105-141)."""
+    """Strip boilerplate VLM openings (recaption_parquets.py:105-141).
+
+    Reference-parity quirks kept deliberately: `.capitalize()` after a
+    replacement lowercases the REST of the caption (proper nouns included),
+    and openings match anywhere in the string, not just at the start —
+    exactly what the reference's postprocess_caption does, and what its
+    published datasets were built with.
+    """
     for opening, replacement in VLM_OPENINGS:
         if opening in caption:
             caption = caption.replace(opening, replacement, 1).capitalize()

@@ -32,8 +32,20 @@ def _build_lib():
                    capture_output=True)
 
 
-def _load_lib():
+def _stale() -> bool:
+    """Rebuild when the C++ source is newer than the built library — a stale
+    pre-MPSC .so used by multiple producers would corrupt slots silently."""
     if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    src_dir = os.path.abspath(_LIB_DIR)
+    return any(
+        os.path.getmtime(os.path.join(src_dir, f)) > lib_mtime
+        for f in os.listdir(src_dir) if f.endswith((".cpp", ".h", ".hpp")))
+
+
+def _load_lib():
+    if _stale():
         _build_lib()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.ring_create.restype = ctypes.c_void_p

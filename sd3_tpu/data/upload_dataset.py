@@ -47,7 +47,7 @@ def plan_shards(parquet_folder: str, rows_per_shard: int) -> list[dict]:
         return []
     n_shards = max(1, (total + rows_per_shard - 1) // rows_per_shard)
 
-    plan, parts, acc = [], [], 0
+    plan = []
     fi = 0
     offset = 0  # rows of counts[fi] already consumed
     for si in range(n_shards):
@@ -68,8 +68,21 @@ def plan_shards(parquet_folder: str, rows_per_shard: int) -> list[dict]:
     return plan
 
 
+_read_cache: dict = {}
+
+
+def _read_source(path: str) -> pd.DataFrame:
+    # Consecutive shards usually slice the same source file; cache the most
+    # recent one so a large file spanning many shards is decoded once, not
+    # once per shard (image-bytes columns make re-reads expensive).
+    if path not in _read_cache:
+        _read_cache.clear()
+        _read_cache[path] = pd.read_parquet(path)
+    return _read_cache[path]
+
+
 def _materialize(shard: dict, out_path: str):
-    dfs = [pd.read_parquet(path).iloc[start:stop]
+    dfs = [_read_source(path).iloc[start:stop]
            for path, start, stop in shard["parts"]]
     pd.concat(dfs, ignore_index=True).to_parquet(out_path, index=False)
 

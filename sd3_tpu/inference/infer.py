@@ -47,6 +47,10 @@ def build_argparser():
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: run projection/MLP matmuls w8a8 on the MXU's "
                         "double-rate int8 path (ops/quant.py; lossy)")
+    p.add_argument("--allow_unsafe_pickle", action="store_true",
+                   help="permit torch.load(weights_only=False) for legacy "
+                        "reference .pkl files that the safe loader rejects — "
+                        "executes pickle code, only for trusted checkpoints")
     return p
 
 
@@ -57,7 +61,8 @@ def load_model(args):
 
     if args.torch_ckpt:
         cfg, params = ckpt.load_torch_checkpoint(
-            args.loadDir, args.torch_ckpt, args.loadDefFile)
+            args.loadDir, args.torch_ckpt, args.loadDefFile,
+            allow_unsafe_pickle=getattr(args, "allow_unsafe_pickle", False))
         assert cfg is not None, "--loadDefFile required with --torch_ckpt"
         model = MMDiT(cfg, remat_blocks=False)
         return model, params, cfg

@@ -187,6 +187,7 @@ class JointAttention(nn.Module):
         every other combination takes the general unfused path."""
         return (self.use_fused
                 and attn_type == "softmax_flash" and self.dual
+                and not self.causal
                 and not self.kv_merge_attn and not self.qk_half_dim
                 and self.positional_encoding in ("RoPE", "RoPE2d", "NoPE",
                                                  "absolute")

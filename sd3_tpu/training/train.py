@@ -174,8 +174,12 @@ def main(argv=None):
                                 args.bucket_indices_path,
                                 stub=args.stub_encoders,
                                 weights_dir=args.encoder_weights,
-                                ring_workers=args.ring_workers,
-                                seed=local_seed)
+                                ring_workers=0 if n_proc > 1
+                                else args.ring_workers,
+                                seed=local_seed,
+                                # multi-host: same bucket sequence on every
+                                # host (same batch SHAPES), disjoint items
+                                bucket_seed=args.seed if n_proc > 1 else None)
 
     final_step = trainer.train(it)
     trainer.save()

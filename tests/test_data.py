@@ -116,3 +116,19 @@ def test_parquet_loader_batches(tiny_parquet):
             assert all(isinstance(c, str) and c for c in batch["caption"])
     finally:
         loader.close()
+
+
+def test_bucket_seed_shared_items_disjoint():
+    """Multi-host contract: samplers sharing bucket_seed draw the SAME bucket
+    sequence (same batch shapes every step on every host) while different
+    `seed`s give different item picks."""
+    import itertools
+    buckets = {"16x16": list(range(100)), "24x16": list(range(100, 220)),
+               "32x32": list(range(220, 400))}
+    a = RandomBucketSampler(buckets, batch_size=4, seed=1, bucket_seed=7)
+    b = RandomBucketSampler(buckets, batch_size=4, seed=2, bucket_seed=7)
+    seq_a = list(itertools.islice(iter(a), 30))
+    seq_b = list(itertools.islice(iter(b), 30))
+    assert [k for k, _ in seq_a] == [k for k, _ in seq_b]
+    assert {k for k, _ in seq_a} != {seq_a[0][0]}  # multiple buckets drawn
+    assert any(sa != sb for (_, sa), (_, sb) in zip(seq_a, seq_b))

@@ -70,3 +70,30 @@ def test_merge_captions_cli(tmp_path):
     assert len(merged) == 3 and "recaption" in merged.columns
     assert not os.path.exists(os.path.join(src, "p0.parquet"))  # consumed
     assert "p0.parquet:3" in err_file.read_text()
+
+
+def test_merge_captions_null_fields_fall_back(tmp_path):
+    """null/missing caption fields arrive as float NaN through pandas — they
+    must fall back (long -> conversations, short -> long), not crash."""
+    import numpy as np
+    caps = [{"key": "1", "caption_llava": None,
+             "caption_llava_short": "short"},
+            {"key": "2", "caption_llava": "A long cap"}]  # no short field
+    jl = tmp_path / "c.jsonl"
+    jl.write_text("\n".join(json.dumps(c) for c in caps))
+    rows = [
+        {"id": "1", "image": {"bytes": b"i1"},
+         "conversations": [{"value": "q"}, {"value": "orig one"}]},
+        {"id": "2", "image": {"bytes": b"i2"},
+         "conversations": [{"value": "q"}, {"value": "orig two"}]},
+    ]
+    df = pd.DataFrame(rows)
+    long_map, short_map = load_caption_maps(str(jl))
+    # simulate the pandas NaN that a null/absent jsonl field produces
+    long_map["1"] = float("nan")
+    short_map["2"] = np.nan
+    errors = []
+    out = merge_captions_df(df, long_map, short_map, errors=errors)
+    assert out["recaption"].tolist() == ["orig one", "A long cap"]
+    assert out["recaption_short"].tolist() == ["short", "A long cap"]
+    assert errors == ["1"]
