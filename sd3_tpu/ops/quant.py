@@ -43,6 +43,18 @@ ATTN_QUANT_NAMES = frozenset({
 })
 QUANT_LAYER_NAMES = MLP_QUANT_NAMES | ATTN_QUANT_NAMES
 
+# q/k/v share their input, so at conversion time the three kernels are
+# concatenated along the output axis into ONE (d_in, 2*d_qk + d_v) int8
+# kernel: the int8 path then quantizes the activation once (one amax pass
+# instead of three — they were identical work) and runs a single wider MXU
+# matmul. Per-output-channel weight scales make the fused result bit-identical
+# to three separate int8 projections.
+QKV_FUSION = {
+    "qkv_proj_x": ("query_proj_x", "key_proj_x", "value_proj_x"),
+    "qkv_proj_c": ("query_proj_c", "key_proj_c", "value_proj_c"),
+    "qkv_proj": ("query_proj", "key_proj", "value_proj"),
+}
+
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(in, out) float kernel -> (int8 kernel, float32 (out,) scales)."""
@@ -113,17 +125,30 @@ def quantize_params(params: dict, attn_scope: str = "attn") -> dict:
     leaves pass through unchanged (they stay float at apply time).
     """
 
+    def quant_node(node):
+        kq, ks = quantize_weight(node["kernel"])
+        out = {"kernel_q": kq, "kernel_scale": ks}
+        if "bias" in node:
+            out["bias"] = jnp.asarray(node["bias"], jnp.float32)
+        return out
+
     def walk(node, name, parent):
         if not isinstance(node, dict):
             return node
         hit = (name in MLP_QUANT_NAMES
                or (name in ATTN_QUANT_NAMES and parent == attn_scope))
         if hit and "kernel" in node:
-            kq, ks = quantize_weight(node["kernel"])
-            out = {"kernel_q": kq, "kernel_scale": ks}
-            if "bias" in node:
-                out["bias"] = jnp.asarray(node["bias"], jnp.float32)
-            return out
+            return quant_node(node)
+        if name == attn_scope:
+            # Fuse q/k/v kernels (shared input -> single matmul, see
+            # QKV_FUSION) before the per-name walk handles the rest.
+            node = dict(node)
+            for fused, parts in QKV_FUSION.items():
+                if all(p in node for p in parts):
+                    kernel = jnp.concatenate(
+                        [jnp.asarray(node.pop(p)["kernel"], jnp.float32)
+                         for p in parts], axis=1)
+                    node[fused] = quant_node({"kernel": kernel})
         return {k: walk(v, k, name) for k, v in node.items()}
 
     return walk(params, "", "")

@@ -62,11 +62,13 @@ def test_quantize_params_touches_only_target_layers():
     qp = quantize_params(params)
 
     found = {"quant": 0, "float": 0}
+    fused_names = {"qkv_proj_x", "qkv_proj_c", "qkv_proj"}
 
     def walk(node, name, parent):
         if isinstance(node, dict):
             target = (name in MLP_QUANT_NAMES
-                      or (name in ATTN_QUANT_NAMES and parent == "attn"))
+                      or ((name in ATTN_QUANT_NAMES or name in fused_names)
+                          and parent == "attn"))
             if "kernel_q" in node:
                 assert target, (parent, name)
                 found["quant"] += 1
@@ -81,10 +83,31 @@ def test_quantize_params_touches_only_target_layers():
     # the MMDiT-level final projection shares the "out_proj" name but is NOT
     # under an attn scope — it must stay float
     assert "kernel" in qp["out_proj"]
-    # 2 blocks x (4 attn proj x 2 streams + 2 swiglu denses x 2 streams),
-    # minus the last block's missing out_proj_c / MLP_c
-    assert found["quant"] == 2 * 12 - 3, found
+    # per full block: fused qkv + out per stream (4) + 2 swiglu denses x 2
+    # streams (4); the last block lacks out_proj_c and MLP_c
+    assert found["quant"] == 8 + 5, found
     assert found["float"] > 0  # gates, adaln, embeddings stay float
+    # q/k/v were fused into a single kernel per stream
+    attn0 = qp["blocks_0"]["attn"]
+    assert "qkv_proj_x" in attn0 and "query_proj_x" not in attn0
+    assert attn0["qkv_proj_x"]["kernel_q"].shape[1] == 3 * cfg.dim
+
+
+def test_fused_qkv_bit_identical_to_separate():
+    """Conversion-time QKV fusion must not change int8 numerics: per-channel
+    weight scales + a single shared activation quant give bit-equal q/k/v."""
+    rng = np.random.default_rng(3)
+    d = 32
+    x = jnp.asarray(rng.normal(size=(6, d)), jnp.float32)
+    ks = [jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+          for _ in range(3)]
+    fused_q, fused_s = quantize_weight(jnp.concatenate(ks, axis=1))
+    fused = int8_dense_apply(x, fused_q, fused_s, None, jnp.float32)
+    for i, k in enumerate(ks):
+        wq, s = quantize_weight(k)
+        sep = int8_dense_apply(x, wq, s, None, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(fused[:, i*d:(i+1)*d]),
+                                      np.asarray(sep))
 
 
 def test_quantized_sampler_runs():
