@@ -16,10 +16,13 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_BF16 = 197e12
 PEAK_INT8 = 394e12
@@ -112,27 +115,21 @@ def train_diag(args):
                        num_save_steps=10**9, log_steps=10**9,
                        save_dir="/tmp/bench_train", low_mem_optimizer=True,
                        track_ema=False, remat_policy=args.remat_policy,
+                       remat_blocks=not args.no_remat,
                        bf16_grads=True, bf16_grad_accum=True)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
     batch = trainer.shard_batch(next(it))
-    # warm up/compile through the Trainer path, then analyze its underlying
-    # compiled step.
-    m = trainer.train_step(batch)
-    float(np.asarray(m["loss"]))
-    compiled = trainer._compiled_step if hasattr(trainer, "_compiled_step") \
-        else None
+    # Lower/compile BEFORE the first execution: the step donates params and
+    # opt_state, so the live buffers only survive until the first call.
+    import jax
+    key = jax.random.PRNGKey(0)
+    with trainer.mesh:
+        compiled = trainer._train_step.lower(
+            trainer.params, trainer.opt_state, key, batch).compile()
     run = lambda: float(np.asarray(trainer.train_step(batch)["loss"]))
-    if compiled is None:
-        # fall back: lower the jitted fn held by the trainer
-        jitted = trainer.step_fn if hasattr(trainer, "step_fn") else None
-        if jitted is None:
-            log("no compiled handle on Trainer; timing only")
-            t0 = time.time(); run()
-            log(f"step: {time.time()-t0:.3f}s")
-            return
-        compiled = jitted.lower(trainer.state, batch).compile()
-    return analyze(f"train {args.res}px b{args.batch}", compiled, run)
+    return analyze(f"train {args.res}px b{args.batch} "
+                   f"remat={args.remat_policy}", compiled, run)
 
 
 def main():
@@ -143,6 +140,7 @@ def main():
     p.add_argument("--quant", default="int8", choices=["none", "int8"])
     p.add_argument("--attn", default="softmax_flash")
     p.add_argument("--remat_policy", default="nothing")
+    p.add_argument("--no_remat", action="store_true")
     args = p.parse_args()
     if args.mode == "forward":
         fwd_diag(args)

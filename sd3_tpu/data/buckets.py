@@ -46,23 +46,33 @@ class RandomBucketSampler:
     """Yields lists of row indices; every batch from a single bucket."""
 
     def __init__(self, buckets: dict, batch_size: int, seed: int = 0,
-                 first_n_largest: int = 0, bucket_seed: int | None = None):
-        # Drop tiny buckets (reference keeps only len > 3*batch)
-        self.buckets = [(k, np.asarray(v)) for k, v in buckets.items()
-                        if len(v) > 3 * batch_size]
-        if not self.buckets:
+                 first_n_largest: int = 0, bucket_seed: int | None = None,
+                 shard_index: int = 0, shard_count: int = 1):
+        # Multi-host sharding: every host must keep the SAME bucket set and
+        # choice probabilities (identical bucket sequence under a shared
+        # bucket_seed -> identical batch shapes each step), so filtering and
+        # probs use GLOBAL bucket sizes; each host then samples items only
+        # from its own interleaved slice -> truly disjoint picks.
+        assert 0 <= shard_index < shard_count
+        # Drop tiny buckets (reference keeps only len > 3*batch; scaled by
+        # shard_count so every shard's slice still holds a full batch)
+        kept = [(k, np.asarray(v)) for k, v in buckets.items()
+                if len(v) > 3 * batch_size * shard_count]
+        if not kept:
             # Tiny datasets (tests): keep everything with >= batch samples
-            self.buckets = [(k, np.asarray(v)) for k, v in buckets.items()
-                            if len(v) >= batch_size]
-        assert self.buckets, "no bucket has enough samples for a batch"
+            # per shard
+            kept = [(k, np.asarray(v)) for k, v in buckets.items()
+                    if len(v) >= batch_size * shard_count]
+        assert kept, "no bucket has enough samples for a batch on every shard"
         self.batch_size = batch_size
-        total = sum(len(v) for _, v in self.buckets)
-        self.probs = np.array([len(v) / total for _, v in self.buckets])
+        total = sum(len(v) for _, v in kept)
+        self.probs = np.array([len(v) / total for _, v in kept])
+        self.buckets = [(k, v[shard_index::shard_count]) for k, v in kept]
         self.rng = np.random.default_rng(seed)
         # Bucket CHOICE draws from its own stream so multi-host training can
         # share `bucket_seed` across hosts (every process must emit the same
-        # batch SHAPE each step for SPMD) while `seed` stays per-host for
-        # disjoint item picks.
+        # batch SHAPE each step for SPMD) while item picks come from each
+        # host's disjoint shard.
         self.bucket_rng = np.random.default_rng(
             seed if bucket_seed is None else bucket_seed)
         self.first_n = first_n_largest

@@ -51,7 +51,10 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
                        encoders=None, seed: int = 0,
                        stub: bool = False, weights_dir: str | None = None,
                        ring_workers: int = 0, loader=None,
-                       bucket_seed: int | None = None) -> Iterator[dict]:
+                       bucket_seed: int | None = None,
+                       num_threads: int = 2,
+                       shard_index: int = 0,
+                       shard_count: int = 1) -> Iterator[dict]:
     """Yields trainer batches {x0, text, pooled} with a leading
     accumulation-steps axis, encoding raw images/captions on device.
 
@@ -78,14 +81,15 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
     else:
         ds = ParquetImageText(parquet_folder, bucket_indices_path)
         # bucket_seed set (multi-host): every host must emit the same batch
-        # SHAPE each step (SPMD), so bucket choice shares one RNG stream and
-        # decode runs single-threaded for deterministic emission order; item
-        # picks stay per-host via `seed`. The ring path does not yet
-        # guarantee cross-host order — multihost uses the in-process loader.
+        # SHAPE each step (SPMD) — bucket choice shares one RNG stream and
+        # the loader emits strictly in sequence order, so multi-threaded
+        # decode stays cross-host deterministic. shard_index/shard_count
+        # partition each bucket's rows across hosts (disjoint item picks).
         loader = HostDataLoader(ds, batch_size=tcfg.batch_size, seed=seed,
                                 bucket_seed=bucket_seed,
-                                num_threads=1 if bucket_seed is not None
-                                else 2)
+                                num_threads=num_threads,
+                                shard_index=shard_index,
+                                shard_count=shard_count)
     rng = jax.random.PRNGKey(seed)
 
     pending: dict[str, list] = collections.defaultdict(list)

@@ -116,57 +116,104 @@ class HostDataLoader:
     def __init__(self, dataset: ParquetImageText, batch_size: int,
                  seed: int = 0, prefetch: int = 4, num_threads: int = 2,
                  clean_captions: bool = False, first_n_largest: int = 1,
-                 bucket_seed: int | None = None):
+                 bucket_seed: int | None = None,
+                 shard_index: int = 0, shard_count: int = 1):
         assert dataset.buckets is not None, "dataset has no bucket_size column"
         self.ds = dataset
         self.sampler = RandomBucketSampler(dataset.buckets, batch_size,
                                            seed=seed,
                                            first_n_largest=first_n_largest,
-                                           bucket_seed=bucket_seed)
+                                           bucket_seed=bucket_seed,
+                                           shard_index=shard_index,
+                                           shard_count=shard_count)
         self.clean = clean_captions
-        self.rng = random.Random(seed)
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._seed = seed
         self._stop = threading.Event()
+        # In-order emission: every sampler draw is tagged with a sequence
+        # number under the lock, workers decode out of order, and __next__
+        # releases batches strictly by sequence. Batch ORDER is therefore
+        # deterministic for any num_threads — multi-host runs (shared
+        # bucket_seed => same shapes each step on every host) keep full
+        # decode parallelism instead of forcing one thread.
+        self._prefetch = max(prefetch, num_threads)
+        self._cond = threading.Condition()
+        self._ready: dict[int, dict] = {}
+        self._draw_seq = 0       # next sequence number to hand to a worker
+        self._emit_seq = 0       # next sequence number __next__ returns
+        self._exhausted = False  # sampler raised StopIteration
+        self._error: BaseException | None = None
+        self._it = iter(self.sampler)
         self._threads = [threading.Thread(target=self._worker, daemon=True)
                          for _ in range(num_threads)]
-        self._it = iter(self.sampler)
-        self._lock = threading.Lock()
         for t in self._threads:
             t.start()
 
-    def _make_batch(self):
-        with self._lock:
-            bucket, idxs = next(self._it)
+    def _decode(self, bucket, idxs, seq):
         rows = self.ds.rows(idxs)
         imgs = np.stack([decode_image(r["image"]["bytes"]
                                       if isinstance(r["image"], dict)
                                       else r["image"]) for r in rows])
+        # per-batch RNG keyed on the sequence number: caption pick/cleanup
+        # draws are reproducible for ANY thread count / scheduling
+        rng = random.Random(f"{self._seed}/{seq}")
         caps = []
         for r in rows:
-            cap = pick_caption(r, self.rng)
+            cap = pick_caption(r, rng)
             if self.clean:
-                cap = clean_caption(cap, self.rng)
+                cap = clean_caption(cap, rng)
             caps.append(cap)
         return {"image": imgs, "caption": caps, "bucket": bucket}
 
     def _worker(self):
         while not self._stop.is_set():
+            with self._cond:
+                # backpressure: stay within `prefetch` undelivered batches
+                while (self._draw_seq - self._emit_seq >= self._prefetch
+                       and not self._stop.is_set()):
+                    self._cond.wait(timeout=0.1)
+                if self._stop.is_set():
+                    return
+                try:
+                    bucket, idxs = next(self._it)
+                except StopIteration:
+                    self._exhausted = True
+                    self._cond.notify_all()
+                    return
+                seq = self._draw_seq
+                self._draw_seq += 1
             try:
-                batch = self._make_batch()
-            except StopIteration:
+                batch = self._decode(bucket, idxs, seq)
+            except BaseException as e:  # surface in __next__, don't hang
+                with self._cond:
+                    self._error = e
+                    self._cond.notify_all()
                 return
-            self._q.put(batch)
+            with self._cond:
+                self._ready[seq] = batch
+                self._cond.notify_all()
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self._q.get()
+        with self._cond:
+            while True:
+                if self._error is not None:
+                    raise self._error
+                if self._emit_seq in self._ready:
+                    batch = self._ready.pop(self._emit_seq)
+                    self._emit_seq += 1
+                    self._cond.notify_all()
+                    return batch
+                if self._exhausted and self._emit_seq >= self._draw_seq:
+                    raise StopIteration
+                self._cond.wait(timeout=0.1)
 
     def close(self):
         self._stop.set()
-        while not self._q.empty():
-            self._q.get_nowait()
+        with self._cond:
+            self._ready.clear()
+            self._cond.notify_all()
 
 
 def synthetic_batch_iter(cfg, batch_size: int, accumulation_steps: int,

@@ -112,12 +112,21 @@ def recaption_dataframe(df: pd.DataFrame,
             except Exception as e:  # undecodable image: failed row
                 print(f"skipping undecodable image: {e}")
         raw = captioner(images, hints)
+        if len(raw) != len(keep):  # a silent zip() truncation would
+            raise ValueError(      # misalign captions with rows
+                f"captioner returned {len(raw)} captions for {len(keep)} "
+                "images — backends must return one caption per image")
         caps: list[str | None] = [None] * len(chunk)
         for j, c in zip(keep, raw):
             c = postprocess_caption(c)
             caps[j] = None if caption_failed(c) else c
         ok = [c for c in caps if c is not None]
-        shorts = iter(distiller(ok) if ok else [])
+        short_list = distiller(ok) if ok else []
+        if len(short_list) != len(ok):
+            raise ValueError(
+                f"distiller returned {len(short_list)} captions for "
+                f"{len(ok)} inputs — backends must return one per input")
+        shorts = iter(short_list)
         long_caps.extend(caps)
         short_caps.extend(next(shorts) if c is not None else None
                           for c in caps)
@@ -180,12 +189,82 @@ def stub_models():
     return captioner, distiller
 
 
-def hf_models(device: str = "cpu"):  # pragma: no cover - needs weights
-    """Load the reference's LLaVA-Next-8b + Llama-3-8B backends via HF
-    transformers. Requires the model weights to be available locally."""
-    raise NotImplementedError(
-        "VLM weights are not available in this environment; supply a "
-        "captioner/distiller pair (see module docstring) or use --stub")
+def hf_models(device: str = "cpu",
+              caption_model: str = "llava-hf/llama3-llava-next-8b-hf",
+              distill_model: str = "meta-llama/Meta-Llama-3-8B-Instruct",
+              max_new_tokens: int = 1024,
+              distill_max_new_tokens: int = 80,
+              dtype=None, token: str | None = None):
+    """The reference's captioning backends via plain HF `transformers`:
+    LLaVA-Next-8b (llama3) as the captioner and Llama-3-8B-Instruct as the
+    caption distiller (reference data/recaption_parquets.py:43-118 — which
+    goes through the `llava` package + a CUDA `pipeline`; this rebuild uses
+    the upstream `transformers` ports so it runs on any backend torch has).
+
+    Returns a (captioner, distiller) pair for `recaption_folder`. Weights
+    load from the HF cache / local snapshots — `caption_model` /
+    `distill_model` may be local paths. Batch generation pads left, mirroring
+    the reference's tokenizer_padding_side="left".
+    """
+    import torch
+    from transformers import (AutoModelForCausalLM, AutoTokenizer,
+                              LlavaNextForConditionalGeneration,
+                              LlavaNextProcessor)
+
+    dtype = dtype or (torch.bfloat16 if torch.cuda.is_available()
+                      else torch.float32)
+    processor = LlavaNextProcessor.from_pretrained(caption_model, token=token)
+    processor.tokenizer.padding_side = "left"
+    if processor.tokenizer.pad_token is None:
+        processor.tokenizer.pad_token = processor.tokenizer.eos_token
+    vlm = LlavaNextForConditionalGeneration.from_pretrained(
+        caption_model, torch_dtype=dtype, token=token).to(device).eval()
+
+    lm_tok = AutoTokenizer.from_pretrained(distill_model, token=token)
+    lm_tok.padding_side = "left"
+    if lm_tok.pad_token is None:
+        lm_tok.pad_token = lm_tok.eos_token
+    lm = AutoModelForCausalLM.from_pretrained(
+        distill_model, torch_dtype=dtype, token=token).to(device).eval()
+
+    @torch.no_grad()
+    def captioner(images, hints):
+        prompts = []
+        for hint in hints:
+            conv = [{"role": "user",
+                     "content": [{"type": "image"},
+                                 {"type": "text",
+                                  "text": LONG_CAPTION_PROMPT.format(
+                                      hint=hint)}]}]
+            prompts.append(processor.apply_chat_template(
+                conv, add_generation_prompt=True))
+        inputs = processor(images=list(images), text=prompts, padding=True,
+                           return_tensors="pt").to(device)
+        out = vlm.generate(**inputs, max_new_tokens=max_new_tokens,
+                           do_sample=False)
+        # left padding: the prompt occupies the first input_len positions
+        gen = out[:, inputs["input_ids"].shape[1]:]
+        return processor.batch_decode(gen, skip_special_tokens=True)
+
+    @torch.no_grad()
+    def distiller(captions):
+        convs = [[{"role": "user",
+                   "content": DISTILL_PROMPT.format(caption=c)}]
+                 for c in captions]
+        texts = [lm_tok.apply_chat_template(c, tokenize=False,
+                                            add_generation_prompt=True)
+                 for c in convs]
+        inputs = lm_tok(texts, return_tensors="pt", padding=True,
+                        truncation=True, max_length=2048).to(device)
+        out = lm.generate(**inputs,
+                          max_new_tokens=distill_max_new_tokens,
+                          do_sample=False,
+                          pad_token_id=lm_tok.pad_token_id)
+        gen = out[:, inputs["input_ids"].shape[1]:]
+        return [t.strip() for t in
+                lm_tok.batch_decode(gen, skip_special_tokens=True)]
+
+    return captioner, distiller
 
 
 def main():

@@ -39,9 +39,11 @@ def _stale() -> bool:
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
     src_dir = os.path.abspath(_LIB_DIR)
+    # Makefile included: a flags/defines change must also trigger a rebuild.
     return any(
         os.path.getmtime(os.path.join(src_dir, f)) > lib_mtime
-        for f in os.listdir(src_dir) if f.endswith((".cpp", ".h", ".hpp")))
+        for f in os.listdir(src_dir)
+        if f.endswith((".cpp", ".h", ".hpp")) or f == "Makefile")
 
 
 def _load_lib():

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 from pathlib import Path
 from typing import Callable, Sequence
 
@@ -104,7 +105,7 @@ def hf_push_fn(repo_id: str, token: str | None = None) -> Callable:
 def upload_folder(parquet_folder: str, push: Callable,
                   rows_per_shard: int = 5000,
                   work_dir: str | None = None,
-                  max_retries: int = 2) -> list[str]:
+                  max_retries: int = 5) -> list[str]:
     """Push all shards of `parquet_folder`, resuming from the progress file.
 
     Returns the names pushed (or skipped as already done) this call.
@@ -127,13 +128,17 @@ def upload_folder(parquet_folder: str, push: Callable,
         local = work / name
         _materialize(shard, str(local))
         last_err = None
-        for _ in range(max_retries + 1):
+        for attempt in range(max_retries + 1):
             try:
                 push(str(local), name)
                 last_err = None
                 break
             except Exception as e:  # rate limits / timeouts: retry
                 last_err = e
+                if attempt < max_retries:
+                    # exponential backoff — rate-limit errors need waiting
+                    # out, not an immediate re-push
+                    time.sleep(min(2.0 ** attempt * 2, 60))
         if last_err is not None:
             raise RuntimeError(f"shard {name} failed after retries: {last_err}")
         local.unlink()

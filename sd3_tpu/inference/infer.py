@@ -44,6 +44,13 @@ def build_argparser():
     p.add_argument("--stub_encoders", action="store_true")
     p.add_argument("--ema", action="store_true",
                    help="load the EMA weights (published inference artifact)")
+    p.add_argument("--dtype", default="checkpoint",
+                   choices=["checkpoint", "float32", "bfloat16"],
+                   help="compute-dtype override; float32 is the bit-match "
+                        "gate configuration (BASELINE.json)")
+    p.add_argument("--save_latents", default=None, metavar="PATH.npy",
+                   help="also dump the raw pre-VAE latents (fp32 npy) — for "
+                        "cross-implementation bit-match comparison")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: run projection/MLP matmuls w8a8 on the MXU's "
                         "double-rate int8 path (ops/quant.py; lossy)")
@@ -88,6 +95,10 @@ def main(argv=None):
     from sd3_tpu.inference.sampler import sample_imgs
 
     model, params, cfg = load_model(args)
+    if args.dtype != "checkpoint" and args.dtype != cfg.dtype:
+        from sd3_tpu.models.mmdit import MMDiT
+        cfg = cfg.replace(dtype=args.dtype)
+        model = MMDiT(cfg, remat_blocks=False)
     if args.quant == "int8":
         from sd3_tpu.models.mmdit import MMDiT
         from sd3_tpu.ops.quant import quantize_params
@@ -102,11 +113,22 @@ def main(argv=None):
     seed = args.seed if args.seed != -1 else int.from_bytes(os.urandom(4), "little")
     rng = jax.random.PRNGKey(seed)
 
-    out = sample_imgs(model, params, encoders, args.batch_size,
-                      args.num_steps, args.text_input, args.guidance,
-                      args.width, args.height, args.sampler, rng,
-                      save_intermediate=args.gif)
-    imgs = None
+    if args.save_latents:
+        assert not args.gif, "--save_latents and --gif are exclusive"
+        lat = sample_imgs(model, params, encoders, args.batch_size,
+                          args.num_steps, args.text_input, args.guidance,
+                          args.width, args.height, args.sampler, rng,
+                          decode=False)
+        np.save(args.save_latents, np.asarray(lat, np.float32))
+        print(f"wrote {args.save_latents}")
+        out = encoders.vae_decode(lat)
+        imgs = None
+    else:
+        out = sample_imgs(model, params, encoders, args.batch_size,
+                          args.num_steps, args.text_input, args.guidance,
+                          args.width, args.height, args.sampler, rng,
+                          save_intermediate=args.gif)
+        imgs = None
     if args.gif:
         out, imgs = out
     out = np.asarray(out)

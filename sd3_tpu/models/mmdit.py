@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from sd3_tpu.config import MMDiTConfig
+from sd3_tpu.parallel.sharding import constrain_batch, constrain_replicated
 from sd3_tpu.ops.norms import AdaLNorm, RMSNorm
 from sd3_tpu.ops.mlp import MLP
 from sd3_tpu.ops.time_embed import TimestepEmbedding
@@ -58,7 +59,7 @@ class DualStreamBlock(nn.Module):
         # y input projection: Linear + SiLU (applied once per block).
         y = nn.Dense(dim, use_bias=True, name="y_proj", dtype=dtype,
                      param_dtype=jnp.float32)(y)
-        y = jax.nn.silu(y)
+        y = constrain_replicated(jax.nn.silu(y))  # keep (B, dim) reshard-free
 
         norm = lambda name: AdaLNorm(dim, dim, name=name, dtype=dtype)
         gate = lambda name: nn.Dense(dim, use_bias=False, name=name, dtype=dtype,
@@ -128,12 +129,15 @@ class MMDiT(nn.Module):
             c = c.at[:, tt:].multiply(
                 jnp.where(null_bert[:, None, None], 0.0, 1.0))
 
-        # Timestep + pooled conditioning -> modulation vector y.
-        t_vec = TimestepEmbedding(cfg.dim, dtype=dtype, name="t_emb")(t)
+        # Timestep + pooled conditioning -> modulation vector y. The small
+        # (B, dim) conditioning tensors are pinned to batch-sharded layout so
+        # GSPMD never replicate-then-repartitions them (see constrain_batch).
+        t_vec = constrain_replicated(
+            TimestepEmbedding(cfg.dim, dtype=dtype, name="t_emb")(t))
         pooled = nn.Dense(cfg.dim, use_bias=False, name="cond_MLP",
                           dtype=dtype, param_dtype=jnp.float32)(
-                              c_pooled.astype(dtype))
-        y = t_vec.astype(dtype) + pooled
+                              constrain_replicated(c_pooled.astype(dtype)))
+        y = constrain_replicated(t_vec.astype(dtype) + pooled)
 
         # Text pre-net: per-encoder RMSNorm * learnable scalar -> projection.
         s1 = self.param("learnable_scalar", nn.initializers.constant(0.01),
@@ -150,12 +154,12 @@ class MMDiT(nn.Module):
         c_tok = jnp.concatenate([c1, c2], axis=1)
 
         # Patchify + embed.
-        x = PatchEmbed(
+        x = constrain_batch(PatchEmbed(
             patch_size=cfg.patch_size, in_channels=ch, embed_dim=cfg.dim,
             bias=False, pos_embed_type=cfg.positional_encoding,
             pos_embed_max_size=cfg.pos_embed_max_size,
             base_size=cfg.pos_embed_base_size, dtype=dtype,
-            name="pos_enc")(x_t.astype(dtype))
+            name="pos_enc")(x_t.astype(dtype)))
         x = nn.Dense(cfg.dim, use_bias=True, name="patch_emb", dtype=dtype,
                      param_dtype=jnp.float32)(x)
 

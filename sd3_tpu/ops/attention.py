@@ -166,20 +166,6 @@ class JointAttention(nn.Module):
         return quant_dense(feats, False, name, self.dtype, self.param_dtype,
                            self.quant)
 
-    def _qkv(self, t, suffix, dim_qk):
-        """q/k/v projections of one stream. int8 runs them as ONE fused
-        matmul on a conversion-time-concatenated kernel (ops/quant.py
-        QKV_FUSION): the shared input is quantized once and the MXU sees a
-        single (d, 2*d_qk+d) int8 dot — bit-identical to three separate
-        int8 projections, one amax pass instead of three."""
-        if self.quant == "int8":
-            qkv = self._dense(2 * dim_qk + self.dim, f"qkv_proj{suffix}")(t)
-            return (qkv[..., :dim_qk], qkv[..., dim_qk:2 * dim_qk],
-                    qkv[..., 2 * dim_qk:])
-        return (self._dense(dim_qk, f"query_proj{suffix}")(t),
-                self._dense(dim_qk, f"key_proj{suffix}")(t),
-                self._dense(self.dim, f"value_proj{suffix}")(t))
-
     def _apply_rope(self, t, hw):
         """Apply the configured RoPE variant to image-token q or k."""
         pe = self.positional_encoding
@@ -224,11 +210,12 @@ class JointAttention(nn.Module):
         which applies q/k RMSNorm + image-only RoPE in VMEM
         (ops/fused_attention.py). Same param tree as the unfused path."""
         n, m = x.shape[1], c.shape[1]
-        q_x, k_x, v_x = self._qkv(x, "_x", self.dim)
-        q_c, k_c, v_c = self._qkv(c, "_c", self.dim)
-        q = jnp.concatenate([q_x, q_c], axis=1)
-        k = jnp.concatenate([k_x, k_c], axis=1)
-        v = jnp.concatenate([v_x, v_c], axis=1)
+        q = jnp.concatenate([self._dense(self.dim, "query_proj_x")(x),
+                             self._dense(self.dim, "query_proj_c")(c)], axis=1)
+        k = jnp.concatenate([self._dense(self.dim, "key_proj_x")(x),
+                             self._dense(self.dim, "key_proj_c")(c)], axis=1)
+        v = jnp.concatenate([self._dense(self.dim, "value_proj_x")(x),
+                             self._dense(self.dim, "value_proj_c")(c)], axis=1)
         w_q_img = RMSNorm(hd, name="q_norm_x", param_dtype=self.param_dtype)()
         w_k_img = RMSNorm(hd, name="k_norm_x", param_dtype=self.param_dtype)()
         w_q_txt = RMSNorm(hd, name="q_norm_c", param_dtype=self.param_dtype)()
@@ -272,10 +259,12 @@ class JointAttention(nn.Module):
         if self.dual:
             assert c is not None
             m = c.shape[1]
-            q_x, k_x, v_x = self._qkv(x, "_x", dim_qk)
-            q_x, k_x, v_x = heads(q_x, hd_qk), heads(k_x, hd_qk), heads(v_x, hd_v)
-            q_c, k_c, v_c = self._qkv(c, "_c", dim_qk)
-            q_c, k_c, v_c = heads(q_c, hd_qk), heads(k_c, hd_qk), heads(v_c, hd_v)
+            q_x = heads(self._dense(dim_qk, "query_proj_x")(x), hd_qk)
+            k_x = heads(self._dense(dim_qk, "key_proj_x")(x), hd_qk)
+            v_x = heads(self._dense(self.dim, "value_proj_x")(x), hd_v)
+            q_c = heads(self._dense(dim_qk, "query_proj_c")(c), hd_qk)
+            k_c = heads(self._dense(dim_qk, "key_proj_c")(c), hd_qk)
+            v_c = heads(self._dense(self.dim, "value_proj_c")(c), hd_v)
             if softmax:
                 q_x = RMSNorm(hd_qk, name="q_norm_x", param_dtype=self.param_dtype)(q_x)
                 k_x = RMSNorm(hd_qk, name="k_norm_x", param_dtype=self.param_dtype)(k_x)
@@ -296,8 +285,9 @@ class JointAttention(nn.Module):
             k = jnp.concatenate([k_x, k_c], axis=2)
             v = jnp.concatenate([v_x, v_c], axis=2)
         else:
-            q, k, v = self._qkv(x, "", dim_qk)
-            q, k, v = heads(q, hd_qk), heads(k, hd_qk), heads(v, hd_v)
+            q = heads(self._dense(dim_qk, "query_proj")(x), hd_qk)
+            k = heads(self._dense(dim_qk, "key_proj")(x), hd_qk)
+            v = heads(self._dense(self.dim, "value_proj")(x), hd_v)
             if softmax:
                 q = RMSNorm(hd_qk, name="q_norm", param_dtype=self.param_dtype)(q)
                 k = RMSNorm(hd_qk, name="k_norm", param_dtype=self.param_dtype)(k)

@@ -1,0 +1,180 @@
+"""Fused int8 SwiGLU MLP Pallas kernel (inference sampling path).
+
+Replaces the XLA op chain  quant(x) -> w12 matmul -> dequant -> silu*mul ->
+quant(h) -> w3 matmul -> dequant(+bias)  for the quantized MLP
+(reference src/blocks/MLP.py:19, xformers SwiGLU w12/w3 packing).
+
+Why: the 512px sampling forward is HBM-bound (scripts/roofline.py: 44 GB
+logical bytes vs a 22 ms int8 compute bound), and the dominant traffic is
+this chain — XLA materializes the (M, 2*hidden) w12 output (~8x the block
+input bytes), re-reads it for silu*mul, writes the (M, hidden) gated tensor,
+and reads it twice more for the per-token re-quantization. This kernel keeps
+x12 and h entirely in VMEM: HBM sees the bf16 input once, the int8 weights
+streamed per m-tile, and the bf16 output once.
+
+Scheme (per grid step (mi, ci) — m-tile x hidden-chunk, ci innermost):
+  ci == 0 : quantize the x tile per row (amax/127) into int8 VMEM scratch
+  always  : x1 = deq(xq @ w12[:, ci])        (int8 MXU dot, int32 acc)
+            x2 = deq(xq @ w12[:, h + ci])
+            hseg = silu(x1) * x2             (f32, VMEM only)
+            re-quantize hseg per (row, chunk) -> hq, s_h
+            acc += deq(hq @ w3[ci, :])       (f32 accumulator scratch)
+  ci last : out = (acc + b3) -> bf16
+
+The per-(row, chunk) activation scales for h are FINER than the XLA path's
+per-row scales, so results differ from `int8_dense_apply` composition in the
+last bits (slightly lower quantization error); the int8-vs-float tolerance
+tests cover both. Weights use the same per-output-channel int8 layout
+produced by `ops.quant.quantize_params` — identical parameter tree.
+
+Inference-only: no VJP (training always runs the float path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _quantize_rows(x_f32, eps=1e-8):
+    """Per-row symmetric int8: returns (int8 values, f32 (rows,1) scales)."""
+    amax = jnp.max(jnp.abs(x_f32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(x_f32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dot_i8(a, b):
+    # precision pinned to DEFAULT: a global jax_default_matmul_precision of
+    # HIGHEST promotes the dot to an algorithm Mosaic can't lower for int8
+    # operands ("Bad lhs type") — int8 wants the native MXU path.
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
+def _kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
+            w3_ref, s3_ref, b3_ref, out_ref,
+            xq_ref, sx_ref, acc_ref, *, n_chunks):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        xq, sx = _quantize_rows(x_ref[...].astype(jnp.float32))
+        xq_ref[...] = xq
+        sx_ref[...] = sx
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[...]
+    sx = sx_ref[...]                                   # (bm, 1) f32
+    x1 = (_dot_i8(xq, w1_ref[...]).astype(jnp.float32)
+          * sx * s1_ref[...] + b1_ref[...])            # (bm, bc) f32
+    x2 = (_dot_i8(xq, w2_ref[...]).astype(jnp.float32)
+          * sx * s2_ref[...] + b2_ref[...])
+    hseg = jax.nn.silu(x1) * x2
+    hq, sh = _quantize_rows(hseg)
+    acc_ref[...] += (_dot_i8(hq, w3_ref[...]).astype(jnp.float32)
+                     * sh * s3_ref[...])
+
+    @pl.when(ci == n_chunks - 1)
+    def _flush():
+        out_ref[...] = (acc_ref[...] + b3_ref[...]).astype(out_ref.dtype)
+
+
+def _pick_block_chunk(m: int, hidden: int) -> tuple[int, int]:
+    """Block sizes: the hidden-chunk must be a 128-multiple divisor of hidden
+    (mosaic lane rule); the m-block large enough to amortize weight streaming
+    (weights are re-read once per m-tile). m is PADDED up to a bm multiple —
+    a big bm with a little padded compute beats a small bm that divides m."""
+    bc = 128
+    for cand in (512, 256, 128):
+        if hidden % cand == 0:
+            bc = cand
+            break
+    # VMEM (bytes, rough): x bf16 bm*K*2 + xq bm*K + acc f32 bm*N*4 +
+    # temps 2*bm*bc*4 + double-buffered weight chunks — ~10MB at bm=512.
+    bm = 512
+    if m <= 256:
+        bm = _round_up(max(m, 16), 16)
+    return bm, bc
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _fused_swiglu_2d(x, w12_q, w12_scale, b12, w3_q, w3_scale, b3,
+                     out_dtype=jnp.bfloat16):
+    m, k = x.shape
+    two_h = w12_q.shape[1]
+    hidden = two_h // 2
+    d_out = w3_q.shape[1]
+    bm, bc = _pick_block_chunk(m, hidden)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    n_chunks = hidden // bc
+    cb = hidden // bc  # block-index offset of the second w12 half
+
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_chunks=n_chunks),
+        grid=(m_pad // bm, n_chunks),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda mi, ci: (mi, 0)),          # x
+            pl.BlockSpec((k, bc), lambda mi, ci: (0, ci)),          # w1 chunk
+            pl.BlockSpec((k, bc), lambda mi, ci, cb=cb: (0, ci + cb)),  # w2
+            pl.BlockSpec((1, bc), lambda mi, ci: (0, ci)),          # s1
+            pl.BlockSpec((1, bc), lambda mi, ci, cb=cb: (0, ci + cb)),  # s2
+            pl.BlockSpec((1, bc), lambda mi, ci: (0, ci)),          # b1
+            pl.BlockSpec((1, bc), lambda mi, ci, cb=cb: (0, ci + cb)),  # b2
+            pl.BlockSpec((bc, d_out), lambda mi, ci: (ci, 0)),      # w3 chunk
+            pl.BlockSpec((1, d_out), lambda mi, ci: (0, 0)),        # s3
+            pl.BlockSpec((1, d_out), lambda mi, ci: (0, 0)),        # b3
+        ],
+        out_specs=pl.BlockSpec((bm, d_out), lambda mi, ci: (mi, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d_out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),       # xq
+            pltpu.VMEM((bm, 1), jnp.float32),    # s_act
+            pltpu.VMEM((bm, d_out), jnp.float32),  # out accumulator
+        ],
+        interpret=_use_interpret(),
+        # w12/its scales/bias appear TWICE: the x1 half and the x2 half are
+        # separate operands with chunk index maps offset by `cb` — same
+        # arrays, no copy, two DMA streams.
+    )(x, w12_q, w12_q, w12_scale, w12_scale, b12, b12,
+      w3_q, row(w3_scale), row(b3))
+    return out[:m]
+
+
+def fused_swiglu_int8(x: jax.Array, w12_q, w12_scale, b12,
+                      w3_q, w3_scale, b3) -> jax.Array:
+    """y = w3(silu(x1) * x2) + b3 with (x1,x2) = split(w12(x) + b12).
+
+    x: (..., d_in) bf16/f32; w12_q: (d_in, 2*hidden) int8 with per-column
+    scales (2*hidden,); w3_q: (hidden, d_out) int8 with scales (d_out,).
+    Returns x.dtype. Weight layout == ops.quant.quantize_params output.
+    """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2d = x.reshape(-1, k)
+    w12_scale = w12_scale.reshape(1, -1).astype(jnp.float32)
+    b12 = b12.reshape(1, -1).astype(jnp.float32)
+    out = _fused_swiglu_2d(x2d, w12_q, w12_scale, b12, w3_q, w3_scale, b3,
+                           out_dtype=x.dtype)
+    return out.reshape(*lead, -1)

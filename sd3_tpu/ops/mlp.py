@@ -13,11 +13,31 @@ with biased lin_up/lin_down (reference MLP.py:20-23).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from sd3_tpu.ops.quant import dense
+from sd3_tpu.ops.quant import Int8Dense, dense
+
+
+def _swiglu_int8_fused(parent, x, dim: int, hidden: int, dtype) -> jax.Array:
+    """Quantized SwiGLU through the fused Pallas kernel (ops/fused_mlp.py):
+    x12/h never touch HBM. Params owned by the same w12/w3 Int8Dense
+    submodules as the unfused path (identical tree)."""
+    from sd3_tpu.ops.fused_mlp import fused_swiglu_int8
+    k12, s12, b12 = Int8Dense(2 * hidden, use_bias=True, name="w12",
+                              dtype=dtype, in_features=x.shape[-1],
+                              parent=parent)(None)
+    k3, s3, b3 = Int8Dense(dim, use_bias=True, name="w3", dtype=dtype,
+                           in_features=hidden, parent=parent)(None)
+    return fused_swiglu_int8(x.astype(dtype), k12, s12, b12, k3, s3, b3)
+
+
+def _fused_mlp_ok(quant: str, hidden: int) -> bool:
+    return (quant == "int8" and hidden % 128 == 0
+            and not os.environ.get("SD3_NO_FUSED_MLP"))
 
 
 class SwiGLU(nn.Module):
@@ -31,6 +51,9 @@ class SwiGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if _fused_mlp_ok(self.quant, self.hidden):
+            return _swiglu_int8_fused(self, x, self.dim, self.hidden,
+                                      self.dtype)
         x12 = dense(2 * self.hidden, True, "w12", self.dtype,
                     self.param_dtype, self.quant)(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
@@ -64,6 +87,9 @@ class MLP(nn.Module):
                           name="MLP")(x)
         elif self.act == "swiglu_old":
             # Same math; parameters live directly in this scope.
+            if _fused_mlp_ok(self.quant, hidden):
+                return _swiglu_int8_fused(self, x, self.dim, hidden,
+                                          self.dtype)
             x12 = dense(2 * hidden, True, "w12", self.dtype,
                         self.param_dtype, self.quant)(x)
             x1, x2 = jnp.split(x12, 2, axis=-1)

@@ -43,17 +43,12 @@ ATTN_QUANT_NAMES = frozenset({
 })
 QUANT_LAYER_NAMES = MLP_QUANT_NAMES | ATTN_QUANT_NAMES
 
-# q/k/v share their input, so at conversion time the three kernels are
-# concatenated along the output axis into ONE (d_in, 2*d_qk + d_v) int8
-# kernel: the int8 path then quantizes the activation once (one amax pass
-# instead of three — they were identical work) and runs a single wider MXU
-# matmul. Per-output-channel weight scales make the fused result bit-identical
-# to three separate int8 projections.
-QKV_FUSION = {
-    "qkv_proj_x": ("query_proj_x", "key_proj_x", "value_proj_x"),
-    "qkv_proj_c": ("query_proj_c", "key_proj_c", "value_proj_c"),
-    "qkv_proj": ("query_proj", "key_proj", "value_proj"),
-}
+# MEASURED DEAD END (round 3, don't redo): concatenating the q/k/v kernels
+# into one (d, 3d) int8 kernel at conversion ("single-pass QKV quant",
+# PLAN_ROUND3.md item 1) REGRESSED 512px int8 sampling 2.67 -> 2.55 img/s.
+# XLA already CSEs the three identical per-token quantize ops (same input),
+# so the amax pass was never actually paid 3x, and the wide-output matmul
+# plus slice/re-concat layout cost ~5%. Separate projections are faster.
 
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -88,21 +83,30 @@ class Int8Dense(nn.Module):
     [bias (out,) f32]} — exactly what `quantize_params` produces from a float
     checkpoint. `init` exists only so `model.init` on a quantized config gives
     the right tree shapes; real values always come from conversion.
+
+    Calling with x=None returns the raw (kernel_q, kernel_scale, bias)
+    parameters without applying — used by fused Pallas consumers
+    (ops/fused_mlp.py) that own the matmul but must materialize the same
+    param tree (`in_features` supplies the kernel's input dim then).
     """
 
     features: int
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    in_features: int | None = None
 
     @nn.compact
-    def __call__(self, x):
-        d_in = x.shape[-1]
+    def __call__(self, x=None):
+        d_in = self.in_features if x is None else x.shape[-1]
+        assert d_in is not None, "in_features required when called with None"
         kq = self.param("kernel_q", nn.initializers.zeros,
                         (d_in, self.features), jnp.int8)
         ks = self.param("kernel_scale", nn.initializers.ones,
                         (self.features,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32) if self.use_bias else None
+        if x is None:
+            return kq, ks, b
         return int8_dense_apply(x, kq, ks, b, self.dtype)
 
 
@@ -125,30 +129,17 @@ def quantize_params(params: dict, attn_scope: str = "attn") -> dict:
     leaves pass through unchanged (they stay float at apply time).
     """
 
-    def quant_node(node):
-        kq, ks = quantize_weight(node["kernel"])
-        out = {"kernel_q": kq, "kernel_scale": ks}
-        if "bias" in node:
-            out["bias"] = jnp.asarray(node["bias"], jnp.float32)
-        return out
-
     def walk(node, name, parent):
         if not isinstance(node, dict):
             return node
         hit = (name in MLP_QUANT_NAMES
                or (name in ATTN_QUANT_NAMES and parent == attn_scope))
         if hit and "kernel" in node:
-            return quant_node(node)
-        if name == attn_scope:
-            # Fuse q/k/v kernels (shared input -> single matmul, see
-            # QKV_FUSION) before the per-name walk handles the rest.
-            node = dict(node)
-            for fused, parts in QKV_FUSION.items():
-                if all(p in node for p in parts):
-                    kernel = jnp.concatenate(
-                        [jnp.asarray(node.pop(p)["kernel"], jnp.float32)
-                         for p in parts], axis=1)
-                    node[fused] = quant_node({"kernel": kernel})
+            kq, ks = quantize_weight(node["kernel"])
+            out = {"kernel_q": kq, "kernel_scale": ks}
+            if "bias" in node:
+                out["bias"] = jnp.asarray(node["bias"], jnp.float32)
+            return out
         return {k: walk(v, k, name) for k, v in node.items()}
 
     return walk(params, "", "")

@@ -55,9 +55,49 @@ def _shrink_to_fit(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
         if axis is None or i >= len(shape):
             out.append(None)
             continue
-        size = mesh.shape[axis]
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
         out.append(axis if shape[i] % size == 0 and size > 1 else None)
     return P(*out)
+
+
+def _ambient_mesh():
+    from jax._src import mesh as mesh_lib
+    m = mesh_lib.thread_resources.env.physical_mesh
+    return None if (m is None or m.empty) else m
+
+
+def constrain_batch(x: jax.Array) -> jax.Array:
+    """Pin a large per-sample intermediate to batch-sharded layout (axis 0
+    over the data axes, rest replicated) — e.g. the patchify reshape output,
+    where GSPMD otherwise pays a replicate-then-repartition reshard.
+
+    No-op when no mesh is active (single-chip inference) — resolved from the
+    ambient `with mesh:` context the trainer traces under.
+    """
+    m = _ambient_mesh()
+    if m is None:
+        return x
+    spec = _shrink_to_fit(P(("dp", "fsdp")), x.shape, m)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(m, spec))
+
+
+def constrain_replicated(x: jax.Array) -> jax.Array:
+    """Pin a SMALL conditioning tensor ((B, dim): timestep embedding, pooled
+    projection, modulation vector y) to full replication.
+
+    Their consumers are denses whose kernels are fsdp-sharded on the
+    contraction axis, so GSPMD keeps flip-flopping these tensors between
+    batch-sharded and dim-sharded layouts and falls back to "involuntary full
+    rematerialization" reshards. Replication is the efficient fixed point:
+    replicated -> any sharding is a local slice, and the tensors are a few
+    KB. No-op without an ambient mesh.
+    """
+    m = _ambient_mesh()
+    if m is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(m, P(*([None] * x.ndim))))
 
 
 def param_sharding_rules(params: Any, mesh: Mesh):

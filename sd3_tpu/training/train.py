@@ -76,6 +76,9 @@ def build_argparser():
     p.add_argument("--ring_workers", type=int, default=0,
                    help="decode/collate in N separate processes via the C++ "
                         "shared-memory ring (0 = in-process threads)")
+    p.add_argument("--data_threads", type=int, default=2,
+                   help="in-process decode threads (multihost-safe: batches "
+                        "are emitted in deterministic sequence order)")
     # mesh
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=-1)
@@ -177,9 +180,14 @@ def main(argv=None):
                                 ring_workers=0 if n_proc > 1
                                 else args.ring_workers,
                                 seed=local_seed,
-                                # multi-host: same bucket sequence on every
-                                # host (same batch SHAPES), disjoint items
-                                bucket_seed=args.seed if n_proc > 1 else None)
+                                num_threads=args.data_threads,
+                                # multi-host: shared bucket_seed -> same
+                                # bucket sequence (same batch SHAPES) on
+                                # every host; shard_index/count partition
+                                # each bucket's rows -> disjoint item picks
+                                bucket_seed=args.seed if n_proc > 1 else None,
+                                shard_index=jax.process_index(),
+                                shard_count=n_proc)
 
     final_step = trainer.train(it)
     trainer.save()

@@ -118,6 +118,47 @@ def test_parquet_loader_batches(tiny_parquet):
         loader.close()
 
 
+def test_sharded_sampler_same_shapes_disjoint_items():
+    """Host sharding: same bucket sequence across shards (shared bucket_seed)
+    and provably DISJOINT item picks (each host samples its own slice)."""
+    import itertools
+    buckets = {"16x16": list(range(100)), "24x16": list(range(100, 220)),
+               "32x32": list(range(220, 400))}
+    a = RandomBucketSampler(buckets, batch_size=4, seed=0, bucket_seed=7,
+                            shard_index=0, shard_count=2)
+    b = RandomBucketSampler(buckets, batch_size=4, seed=0, bucket_seed=7,
+                            shard_index=1, shard_count=2)
+    seq_a = list(itertools.islice(iter(a), 40))
+    seq_b = list(itertools.islice(iter(b), 40))
+    # identical bucket (=> batch shape) sequence
+    assert [k for k, _ in seq_a] == [k for k, _ in seq_b]
+    # disjoint rows: shard slices never overlap
+    picked_a = set(itertools.chain.from_iterable(s for _, s in seq_a))
+    picked_b = set(itertools.chain.from_iterable(s for _, s in seq_b))
+    assert picked_a and picked_b and not (picked_a & picked_b)
+
+
+def test_loader_order_deterministic_across_thread_counts(tiny_parquet):
+    """In-order emission: any num_threads yields the identical batch stream
+    (the multihost requirement that let decode go multi-threaded)."""
+    def collect(threads):
+        ds = ParquetImageText(tiny_parquet)
+        loader = HostDataLoader(ds, batch_size=4, seed=3, prefetch=4,
+                                num_threads=threads, first_n_largest=1,
+                                bucket_seed=11)
+        try:
+            return [next(loader) for _ in range(6)]
+        finally:
+            loader.close()
+
+    one = collect(1)
+    three = collect(3)
+    for b1, b3 in zip(one, three):
+        assert b1["bucket"] == b3["bucket"]
+        assert b1["caption"] == b3["caption"]
+        np.testing.assert_array_equal(b1["image"], b3["image"])
+
+
 def test_bucket_seed_shared_items_disjoint():
     """Multi-host contract: samplers sharing bucket_seed draw the SAME bucket
     sequence (same batch shapes every step on every host) while different

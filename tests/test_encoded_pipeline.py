@@ -159,3 +159,37 @@ def test_ring_data_loader(parquet_dir):
             assert batch["bucket"] == "16x16"
     finally:
         loader.close()
+
+
+def test_two_shard_iters_same_shapes_threads(tmp_path):
+    """Multihost input contract at the pipeline level: two shards sharing a
+    bucket_seed, each decoding with 3 threads, emit IDENTICAL per-step batch
+    shapes (SPMD requirement) from disjoint row slices."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from sd3_tpu.config import tiny_config
+    from sd3_tpu.data.encoded import encoded_batch_iter
+    from sd3_tpu.models.text_encoders import load_text_encoders
+    from sd3_tpu.training.trainer import TrainConfig
+
+    d = tmp_path / "pq_mh"
+    d.mkdir()
+    rows = []
+    for i in range(48):
+        h, w = (16, 16) if i % 2 else (16, 8)
+        rows.append({"image": _png_bytes(h, w, 5 * (i % 40)),
+                     "recaption": f"caption {i}", "recaption_short": f"c{i}",
+                     "bucket_size": f"{h}x{w}"})
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+
+    cfg = tiny_config(inCh=16)
+    tcfg = TrainConfig(batch_size=2, accumulation_steps=1)
+    enc = load_text_encoders(stub=True, model_cfg=cfg)
+
+    def shapes(shard):
+        it = encoded_batch_iter(cfg, tcfg, str(d), encoders=enc,
+                                seed=3, bucket_seed=17, num_threads=3,
+                                shard_index=shard, shard_count=2)
+        return [next(it)["x0"].shape for _ in range(8)]
+
+    assert shapes(0) == shapes(1)

@@ -62,13 +62,11 @@ def test_quantize_params_touches_only_target_layers():
     qp = quantize_params(params)
 
     found = {"quant": 0, "float": 0}
-    fused_names = {"qkv_proj_x", "qkv_proj_c", "qkv_proj"}
 
     def walk(node, name, parent):
         if isinstance(node, dict):
             target = (name in MLP_QUANT_NAMES
-                      or ((name in ATTN_QUANT_NAMES or name in fused_names)
-                          and parent == "attn"))
+                      or (name in ATTN_QUANT_NAMES and parent == "attn"))
             if "kernel_q" in node:
                 assert target, (parent, name)
                 found["quant"] += 1
@@ -83,19 +81,17 @@ def test_quantize_params_touches_only_target_layers():
     # the MMDiT-level final projection shares the "out_proj" name but is NOT
     # under an attn scope — it must stay float
     assert "kernel" in qp["out_proj"]
-    # per full block: fused qkv + out per stream (4) + 2 swiglu denses x 2
-    # streams (4); the last block lacks out_proj_c and MLP_c
-    assert found["quant"] == 8 + 5, found
+    # 2 blocks x (4 attn proj x 2 streams + 2 swiglu denses x 2 streams),
+    # minus the last block's missing out_proj_c / MLP_c
+    assert found["quant"] == 2 * 12 - 3, found
     assert found["float"] > 0  # gates, adaln, embeddings stay float
-    # q/k/v were fused into a single kernel per stream
-    attn0 = qp["blocks_0"]["attn"]
-    assert "qkv_proj_x" in attn0 and "query_proj_x" not in attn0
-    assert attn0["qkv_proj_x"]["kernel_q"].shape[1] == 3 * cfg.dim
 
 
 def test_fused_qkv_bit_identical_to_separate():
-    """Conversion-time QKV fusion must not change int8 numerics: per-channel
-    weight scales + a single shared activation quant give bit-equal q/k/v."""
+    """Concatenated-kernel int8 matmuls are bit-equal to separate ones
+    (per-output-channel scales + shared activation quant) — the property
+    that made the round-3 QKV-fusion experiment safe to try; kept as a
+    regression guard on the per-channel quantization math."""
     rng = np.random.default_rng(3)
     d = 32
     x = jnp.asarray(rng.normal(size=(6, d)), jnp.float32)
@@ -150,3 +146,66 @@ def test_quantized_mmdit_close_to_float(mlp_type):
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert cos > 0.99, cos
     assert rel < 0.15, rel
+
+
+def test_fused_swiglu_kernel_matches_unfused_int8():
+    """ops/fused_mlp.py vs the XLA int8 composition: same weights, same
+    per-row input quant; h re-quant is finer-grained in the kernel, so allow
+    a small tolerance (and require closeness to the FLOAT reference too)."""
+    from sd3_tpu.ops.fused_mlp import fused_swiglu_int8
+
+    rng = np.random.default_rng(7)
+    d, hidden, m = 64, 128, 37          # hidden % 128 == 0, odd m (padding)
+    x = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    w12 = jnp.asarray(rng.normal(size=(d, 2 * hidden)) * 0.08, jnp.float32)
+    b12 = jnp.asarray(rng.normal(size=(2 * hidden,)) * 0.01, jnp.float32)
+    w3 = jnp.asarray(rng.normal(size=(hidden, d)) * 0.08, jnp.float32)
+    b3 = jnp.asarray(rng.normal(size=(d,)) * 0.01, jnp.float32)
+
+    # float reference
+    x12 = x @ w12 + b12
+    h = jax.nn.silu(x12[:, :hidden]) * x12[:, hidden:]
+    ref = h @ w3 + b3
+
+    # unfused int8 composition (the XLA path)
+    k12, s12 = quantize_weight(w12)
+    k3, s3 = quantize_weight(w3)
+    x12_q = int8_dense_apply(x, k12, s12, b12, jnp.float32)
+    h_q = jax.nn.silu(x12_q[:, :hidden]) * x12_q[:, hidden:]
+    unfused = int8_dense_apply(h_q, k3, s3, b3, jnp.float32)
+
+    fused = fused_swiglu_int8(x, k12, s12, b12, k3, s3, b3)
+    assert fused.shape == ref.shape
+
+    def rel(a, b):
+        return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+
+    assert rel(fused, ref) < 2.5e-2, rel(fused, ref)
+    assert rel(fused, ref) <= rel(unfused, ref) * 1.5  # not WORSE than XLA path
+
+
+def test_fused_swiglu_in_model_path(monkeypatch):
+    """quant='int8' MMDiT routes its swiglu MLPs through the fused kernel and
+    still tracks the float model (same tolerance as the unfused test)."""
+    cfg = tiny_config(MLP_type="swiglu", attn_type="softmax",
+                      dim=32, hidden_scale=4.0)  # hidden = 128
+    model, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+    qmodel = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+    qparams = quantize_params(params)
+
+    rng = np.random.default_rng(5)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, cfg.inCh, 16, 16)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(b,)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, cfg.text_tokens, cfg.text_hidden_dim)),
+                    jnp.float32)
+    cp = jnp.asarray(rng.normal(size=(b, cfg.class_dim)), jnp.float32)
+
+    ref = model.apply({"params": params}, x, t, c, cp)
+    got = qmodel.apply({"params": qparams}, x, t, c, cp)       # fused kernel
+    monkeypatch.setenv("SD3_NO_FUSED_MLP", "1")
+    got_unfused = qmodel.apply({"params": qparams}, x, t, c, cp)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    rel_u = float(jnp.linalg.norm(got_unfused - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.15, rel
+    assert rel <= rel_u * 1.5 + 1e-3, (rel, rel_u)

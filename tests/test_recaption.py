@@ -87,3 +87,93 @@ def test_split_manifest_and_folder_resume(tmp_path):
                              num_splits=2, split_idx=0, min_rows=5)
     assert done2 == done
     assert (dst / "part0.parquet").stat().st_mtime_ns == mtime
+
+
+def test_hf_models_call_path(monkeypatch):
+    """Exercises the real hf_models() plumbing (prompt templating, left-pad
+    slice, batch decode) with faked transformers classes — the weights
+    themselves don't exist in this environment (reference
+    recaption_parquets.py:43-118 backends)."""
+    import numpy as np
+    import torch
+    import transformers
+
+    from sd3_tpu.data import recaption
+
+    class FakeTok:
+        pad_token = None
+        eos_token = "<eos>"
+        pad_token_id = 0
+        padding_side = "right"
+
+        def apply_chat_template(self, conv, tokenize=False,
+                                add_generation_prompt=True):
+            return conv[-1]["content"]
+
+        def __call__(self, texts, **kw):
+            n = len(texts)
+            ids = torch.ones((n, 4), dtype=torch.long)
+            return type("B", (), {"to": lambda s, d: {"input_ids": ids},
+                                  "__getitem__": lambda s, k: ids})()
+
+        def batch_decode(self, out, skip_special_tokens=True):
+            return [f"short {i}" for i in range(out.shape[0])]
+
+    class FakeProcessor:
+        tokenizer = FakeTok()
+
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            return cls()
+
+        def apply_chat_template(self, conv, add_generation_prompt=True):
+            txt = conv[-1]["content"][-1]["text"]
+            assert "Hint:" in txt  # reference prompt template applied
+            return txt
+
+        def __call__(self, images=None, text=None, **kw):
+            n = len(text)
+            ids = torch.ones((n, 5), dtype=torch.long)
+            d = {"input_ids": ids}
+            return type("B", (), {"to": lambda s, dev: d})()
+
+        def batch_decode(self, gen, skip_special_tokens=True):
+            return [f"a long caption {i}" for i in range(gen.shape[0])]
+
+    class FakeModel:
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            return cls()
+
+        def to(self, device):
+            return self
+
+        def eval(self):
+            return self
+
+        def generate(self, input_ids=None, **kw):
+            n = input_ids.shape[0]
+            return torch.ones((n, input_ids.shape[1] + 3), dtype=torch.long)
+
+    class FakeAutoTok:
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            return FakeTok()
+
+    # transformers is a _LazyModule: setattr on it does NOT override what
+    # `from transformers import X` resolves, so swap the whole module.
+    import sys
+    import types
+    fake_mod = types.ModuleType("transformers")
+    fake_mod.LlavaNextProcessor = FakeProcessor
+    fake_mod.LlavaNextForConditionalGeneration = FakeModel
+    fake_mod.AutoTokenizer = FakeAutoTok
+    fake_mod.AutoModelForCausalLM = FakeModel
+    monkeypatch.setitem(sys.modules, "transformers", fake_mod)
+
+    captioner, distiller = recaption.hf_models(device="cpu")
+    imgs = [np.zeros((4, 4, 3), np.uint8)] * 2
+    caps = captioner(imgs, ["alt a", "alt b"])
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+    shorts = distiller(caps)
+    assert len(shorts) == 2 and all(isinstance(s, str) for s in shorts)

@@ -29,3 +29,9 @@ def test_dryrun_multichip_cpu_mesh():
                          text=True, timeout=1200, cwd=os.path.dirname(
                              os.path.dirname(os.path.abspath(__file__))))
     assert "SHARDING_OK" in res.stdout, res.stdout + "\n" + res.stderr
+    # The sharded train step must compile without GSPMD falling back to
+    # replicate-then-repartition reshards (the conditioning-path tensors are
+    # pinned with sharding constraints — parallel/sharding.py
+    # constrain_replicated/constrain_batch). A reappearance of this warning
+    # means a new intermediate lost its layout and is eating ICI bandwidth.
+    assert "Involuntary full rematerialization" not in res.stderr, res.stderr
