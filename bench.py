@@ -147,6 +147,7 @@ def bench_train(args):
                        track_ema=False, remat_policy=args.remat_policy,
                        bf16_grads=args.bf16_grads,
                        bf16_grad_accum=args.bf16_grads,
+                       precast_params=args.precast,
                        remat_blocks=not args.no_remat)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, args.acc, args.res, args.res)
@@ -203,6 +204,10 @@ def main():
     p.add_argument("--no_remat", action="store_true",
                    help="store block activations instead of recomputing "
                         "(train bench; fits 256px batch<=16)")
+    p.add_argument("--precast", action="store_true", default=True,
+                   help="cast f32 master params to bf16 once per train step "
+                        "(TrainConfig.precast_params)")
+    p.add_argument("--no_precast", dest="precast", action="store_false")
     args = p.parse_args()
     result = bench_train(args) if args.train else bench_sampling(args)
     print(json.dumps(result), flush=True)

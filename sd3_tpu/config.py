@@ -84,9 +84,16 @@ class MMDiTConfig:
     # checkpoints always store float weights; convert with
     # ops/quant.py::quantize_params.
     quant: str = "none"
+    # Per-layer int8 fallback: dense names (ops/quant.py QUANT_LAYER_NAMES)
+    # kept in the float path under quant="int8" — the knob the int8 quality
+    # drift policy turns when a layer group proves quantization-sensitive
+    # (e.g. ("w12",)). Runtime-only, like `quant`.
+    quant_skip: tuple = ()
 
     def __post_init__(self):
         assert self.quant in ("none", "int8"), self.quant
+        if not isinstance(self.quant_skip, tuple):
+            object.__setattr__(self, "quant_skip", tuple(self.quant_skip))
         assert self.attn_type in ATTN_TYPES, self.attn_type
         assert self.positional_encoding in POS_ENCODINGS, self.positional_encoding
         assert self.MLP_type in MLP_TYPES, self.MLP_type

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import collections
 import os
+import queue
+import threading
 from typing import Iterator
 
 import jax
@@ -111,3 +113,45 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
             x0s, texts, pooleds = zip(*group)
             yield {"x0": np.stack(x0s), "text": np.stack(texts),
                    "pooled": np.stack(pooleds)}
+
+
+def prefetch_iterator(it: Iterator, depth: int = 1) -> Iterator:
+    """Run `it` one (or `depth`) item(s) ahead in a background thread.
+
+    The reference hides its preprocessing behind dedicated loader GPUs
+    (VAE_T5_CLIP.py:399-478 p2p streams); the TPU analog is double-buffering:
+    while the trainer's step N executes on device, the thread decodes and
+    DISPATCHES the jitted encodes for group N+1 (jax dispatch is async, so
+    the encoder programs queue behind the train step without blocking it).
+    Exceptions propagate to the consumer; StopIteration ends the stream.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    DONE = object()
+
+    def worker():
+        try:
+            for item in it:
+                if stop.is_set():
+                    return
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a worker parked on a full queue so it can exit
+            q.get_nowait()
+        except queue.Empty:
+            pass

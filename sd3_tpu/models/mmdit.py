@@ -71,8 +71,8 @@ class DualStreamBlock(nn.Module):
             rope_scale=cfg.rope_scale, kv_merge_attn=cfg.kv_merge_attn,
             qk_half_dim=cfg.qk_half_dim, layer_idx=self.layer_idx, dual=True,
             last=self.last, rope2d_interpolate=cfg.rope2d_interpolate,
-            dtype=dtype, quant=cfg.quant, use_fused=self.fused_attn,
-            name="attn")
+            dtype=dtype, quant=cfg.quant, quant_skip=cfg.quant_skip,
+            use_fused=self.fused_attn, name="attn")
 
         x_a, c_a = attn(norm("norm1_x")(x, y), norm("norm1_c")(c, y), hw)
         x = x_a * gate("scale1_x")(y)[:, None, :] + x
@@ -80,7 +80,32 @@ class DualStreamBlock(nn.Module):
             c = c_a * gate("scale1_c")(y)[:, None, :] + c
 
         mlp = lambda name: MLP(dim, cfg.hidden_scale, act=cfg.MLP_type,
-                               dtype=dtype, quant=cfg.quant, name=name)
+                               dtype=dtype, quant=cfg.quant,
+                               quant_skip=cfg.quant_skip, name=name)
+
+        import os
+        from sd3_tpu.ops.mlp import _fused_mlp_ok
+        if (cfg.MLP_type in ("swiglu", "swiglu_old")
+                and os.environ.get("SD3_MLP_TAIL_FUSION")
+                and _fused_mlp_ok(cfg.quant, int(dim * cfg.hidden_scale),
+                                  cfg.quant_skip)):
+            # OPT-IN experiment: the whole MLP half of the block — AdaLN,
+            # SwiGLU, gate, residual — as ONE Pallas kernel
+            # (ops/fused_mlp.py); AdaLNorm(None, y) supplies the shift/scale
+            # vectors from the identical param tree. Measured SLOWER than the
+            # default MLP-only fused kernel at 512px (2.48 vs 2.98 img/s —
+            # see ops/fused_mlp.py docstring), hence off by default.
+            def mlp_tail(mlp_name, norm_name, gate_name, t):
+                sh, sc = norm(norm_name)(None, y)
+                g = gate(gate_name)(y)
+                return mlp(mlp_name)(t, shift=sh, scale=sc, gate=g,
+                                     residual=True)
+
+            x = mlp_tail("MLP_x", "norm2_x", "scale2_x", x)
+            if not self.last:
+                c = mlp_tail("MLP_c", "norm2_c", "scale2_c", c)
+            return x, c
+
         x = mlp("MLP_x")(norm("norm2_x")(x, y)) * gate("scale2_x")(y)[:, None, :] + x
         if not self.last:
             c = mlp("MLP_c")(norm("norm2_c")(c, y)) * gate("scale2_c")(y)[:, None, :] + c

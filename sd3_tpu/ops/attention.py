@@ -151,6 +151,7 @@ class JointAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     quant: str = "none"                # "int8": w8a8 projections (ops/quant.py)
+    quant_skip: tuple = ()             # per-layer float fallback names
     # The fused RMSNorm+RoPE flash kernel is an INFERENCE optimization: its
     # backward recomputes through the unfused composition, so under per-block
     # remat a training step pays the attention forward ~3x. Trainers pass
@@ -164,7 +165,7 @@ class JointAttention(nn.Module):
 
     def _dense(self, feats, name):
         return quant_dense(feats, False, name, self.dtype, self.param_dtype,
-                           self.quant)
+                           self.quant, self.quant_skip)
 
     def _apply_rope(self, t, hw):
         """Apply the configured RoPE variant to image-token q or k."""

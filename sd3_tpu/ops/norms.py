@@ -84,9 +84,15 @@ class AdaLNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
+        """x=None returns the raw (shift, scale) conditioning vectors (B, dim)
+        without normalizing — for fused consumers that apply the LayerNorm +
+        modulate inside a Pallas kernel (ops/fused_mlp.py) but must own the
+        same c_shift/c_scale param tree."""
         shift = nn.Dense(self.dim, use_bias=False, name="c_shift",
                          dtype=self.dtype, param_dtype=self.param_dtype)(y)
         scale = nn.Dense(self.dim, use_bias=False, name="c_scale",
                          dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        if x is None:
+            return shift, scale
         x = layer_norm(x)
         return x * (1.0 + scale[:, None, :]) + shift[:, None, :]

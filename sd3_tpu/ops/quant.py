@@ -111,29 +111,34 @@ class Int8Dense(nn.Module):
 
 
 def dense(features: int, use_bias: bool, name: str, dtype, param_dtype,
-          quant: str = "none"):
-    """Dense factory shared by the model blocks: float or int8 per `quant`."""
-    if quant == "int8":
+          quant: str = "none", quant_skip: tuple = ()):
+    """Dense factory shared by the model blocks: float or int8 per `quant`;
+    names in `quant_skip` stay float even under int8 (per-layer fallback)."""
+    if quant == "int8" and name not in quant_skip:
         return Int8Dense(features=features, use_bias=use_bias, name=name,
                          dtype=dtype)
     return nn.Dense(features, use_bias=use_bias, name=name, dtype=dtype,
                     param_dtype=param_dtype)
 
 
-def quantize_params(params: dict, attn_scope: str = "attn") -> dict:
+def quantize_params(params: dict, attn_scope: str = "attn",
+                    quant_skip: tuple = ()) -> dict:
     """Convert a float MMDiT param tree to the int8 tree `quant="int8"` reads.
 
     Walks the tree; MLP denses (`w12`/`w3`/`lin_up`/`lin_down`) anywhere and
     attention projections directly under an `attn_scope` module are rewritten
     from {kernel, [bias]} to {kernel_q, kernel_scale, [bias]}. All other
     leaves pass through unchanged (they stay float at apply time).
+    `quant_skip` names are left float — must match the model's
+    MMDiTConfig.quant_skip.
     """
 
     def walk(node, name, parent):
         if not isinstance(node, dict):
             return node
-        hit = (name in MLP_QUANT_NAMES
-               or (name in ATTN_QUANT_NAMES and parent == attn_scope))
+        hit = (name not in quant_skip
+               and (name in MLP_QUANT_NAMES
+                    or (name in ATTN_QUANT_NAMES and parent == attn_scope)))
         if hit and "kernel" in node:
             kq, ks = quantize_weight(node["kernel"])
             out = {"kernel_q": kq, "kernel_scale": ks}

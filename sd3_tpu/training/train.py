@@ -79,6 +79,9 @@ def build_argparser():
     p.add_argument("--data_threads", type=int, default=2,
                    help="in-process decode threads (multihost-safe: batches "
                         "are emitted in deterministic sequence order)")
+    p.add_argument("--prefetch_batches", type=int, default=1,
+                   help="optimizer-step groups to decode+encode ahead of the "
+                        "train step (0 disables the overlap thread)")
     # mesh
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=-1)
@@ -188,6 +191,11 @@ def main(argv=None):
                                 bucket_seed=args.seed if n_proc > 1 else None,
                                 shard_index=jax.process_index(),
                                 shard_count=n_proc)
+        if args.prefetch_batches > 0:
+            from sd3_tpu.data.encoded import prefetch_iterator
+            # double-buffer: decode + encoder dispatch for group N+1 overlap
+            # step N (the reference's loader-GPU overlap, SURVEY §2.4/§7e)
+            it = prefetch_iterator(it, depth=args.prefetch_batches)
 
     final_step = trainer.train(it)
     trainer.save()

@@ -72,6 +72,16 @@ class TrainConfig:
     # are upcast per-leaf inside the optimizer, so only the bf16 round-trip
     # (~0.4% relative noise, same as a bf16 DDP all-reduce) is lossy.
     bf16_grads: bool = False
+    # Cast the fp32 master params to bf16 ONCE per step, outside the remat
+    # boundary, and differentiate w.r.t. the bf16 tree. Every param read in
+    # the forward AND the per-block remat recompute then moves 2 bytes/param
+    # instead of 4 (the train step is HBM-bound — scripts/roofline.py), and
+    # the per-use f32->bf16 casts disappear from the rematted blocks.
+    # Numerically equivalent to the flax param_dtype=f32/dtype=bf16 path
+    # (same bf16 operands in every matmul; wgrads land in bf16 either way
+    # under bf16_grads). Active only with bf16_grads + low_mem_optimizer on
+    # a bfloat16-compute model.
+    precast_params: bool = True
     remat_policy: str = "nothing"   # see MMDiT.remat_policy
     # Per-block activation checkpointing (reference Transformer_Block_Dual
     # checkpoint flags). False stores all block activations — at 256px
@@ -146,14 +156,28 @@ def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
 
     grad_fn = jax.grad(micro_loss, has_aux=True)
 
+    precast = (tcfg.precast_params and tcfg.bf16_grads
+               and tcfg.low_mem_optimizer
+               and jnp.dtype(mcfg.dtype) == jnp.bfloat16)
+
+    def maybe_cast(params):
+        if not precast:
+            return params
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+
     def train_step(params, opt_state, rng, batch):
         acc = batch["x0"].shape[0]
+        # grads are taken w.r.t. the (possibly bf16) compute tree; the fp32
+        # master `params` only feeds the optimizer update
+        cparams = maybe_cast(params)
 
         if acc == 1:
             # fast path: no accumulation buffers (saves a full fp32 grad tree)
-            g, metrics = grad_fn(params, rng, batch["x0"][0],
+            g, metrics = grad_fn(cparams, rng, batch["x0"][0],
                                  batch["text"][0], batch["pooled"][0])
-            if tcfg.bf16_grads:
+            if tcfg.bf16_grads and not precast:
                 # single downcast that fuses into each grad's producer; the
                 # low-mem optimizer upcasts per leaf internally, so only the
                 # bf16 tree is ever stored (frees 2.3GB on the 1.2B model)
@@ -172,7 +196,7 @@ def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
         def micro(carry, inp):
             g_sum, metric_sum = carry
             key, x0, text, pooled = inp
-            g, metrics = grad_fn(params, key, x0, text, pooled)
+            g, metrics = grad_fn(cparams, key, x0, text, pooled)
             g_sum = jax.tree_util.tree_map(
                 lambda a, b: a + b.astype(a.dtype), g_sum, g)
             metric_sum = jax.tree_util.tree_map(jnp.add, metric_sum, metrics)

@@ -193,3 +193,18 @@ def test_two_shard_iters_same_shapes_threads(tmp_path):
         return [next(it)["x0"].shape for _ in range(8)]
 
     assert shapes(0) == shapes(1)
+
+
+def test_prefetch_iterator_order_and_errors():
+    from sd3_tpu.data.encoded import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(7)), depth=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch_iterator(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)

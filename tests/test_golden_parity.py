@@ -43,22 +43,42 @@ def golden():
     return fx, params, noise.numpy(), text.numpy(), pooled.numpy()
 
 
-def _euler_jax(model, params, noise, text, pooled):
+def _sample_jax(model, params, noise, text, pooled, sampler="euler",
+                step_noise=None):
+    """Mirror of scripts/gen_golden.py::sample (the reference sampling loops,
+    diff_model.py:407-460) with pre-drawn stochastic noise."""
     x = jnp.asarray(noise)
     text2 = jnp.asarray(np.repeat(text, 2, axis=0))
     pooled2 = jnp.asarray(np.repeat(pooled, 2, axis=0))
     null = jnp.asarray([False, True])
     dt = 1.0 / NUM_STEPS
-    v_first = None
-    for t in np.linspace(1.0, 1.0 / NUM_STEPS, NUM_STEPS):
+
+    def vel(x, t):
         tb = jnp.full((2,), t, jnp.float32)
         v = model.apply({"params": params}, jnp.tile(x, (2, 1, 1, 1)), tb,
                         text2, pooled2, null, null, null)
-        v = (1 + GUIDANCE) * v[:1] - GUIDANCE * v[1:]
+        return (1 + GUIDANCE) * v[:1] - GUIDANCE * v[1:]
+
+    v_first = None
+    for i, t in enumerate(np.linspace(1.0, 1.0 / NUM_STEPS, NUM_STEPS)):
+        v = vel(x, t)
         if v_first is None:
             v_first = v
-        x = x - v * dt
+        if sampler == "euler":
+            x = x - v * dt
+        elif sampler == "euler_stochastic":
+            sigma = t * (1 - t) / (1 - t + 0.008)
+            x = x - v * dt + sigma * jnp.asarray(step_noise[i]) * dt ** 0.5
+        elif sampler == "heun":
+            v2 = vel(x - v * dt, t - dt)
+            x = x - (dt / 2.0) * (v + v2)
+        else:
+            raise ValueError(sampler)
     return np.asarray(v_first), np.asarray(x)
+
+
+def _euler_jax(model, params, noise, text, pooled):
+    return _sample_jax(model, params, noise, text, pooled, "euler")
 
 
 @pytest.mark.parametrize("attn", ["softmax", "softmax_flash"])
@@ -80,3 +100,56 @@ def test_golden_euler_latents(golden, attn):
     # Same-graph reruns are bitwise identical (the other half of the gate).
     np.testing.assert_allclose(v_first, fx["v_first"], atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(latents, fx["latents"], atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("sampler,key", [("euler_stochastic",
+                                          "latents_stochastic"),
+                                         ("heun", "latents_heun")])
+def test_golden_sampler_matrix(golden, sampler, key):
+    """The stochastic (pre-drawn per-step noise) and heun samplers against
+    the torch oracle — reference diff_model.py:431-460."""
+    fx, params, noise, text, pooled = golden
+    cfg = tiny_config(**{**GOLD, "attn_type": "softmax_flash"})
+    model = MMDiT(cfg, remat_blocks=False)
+    step_noise = fx["step_noise"] if sampler == "euler_stochastic" else None
+    _, latents = _sample_jax(model, params, noise, text, pooled, sampler,
+                             step_noise=step_noise)
+    np.testing.assert_allclose(latents, fx[key], atol=5e-3, rtol=1e-3)
+
+
+def test_golden_nonsquare(golden):
+    """Non-square latents (h != w token grid): exercises 2-D RoPE axes and
+    patch/unpatchify orientation at the model level. The reference's
+    sample_imgs w/h swap is an allocation quirk upstream of the model (see
+    scripts/gen_golden.py docstring)."""
+    fx, params, _, text, pooled = golden
+    cfg = tiny_config(**{**GOLD, "attn_type": "softmax_flash"})
+    model = MMDiT(cfg, remat_blocks=False)
+    v_first, latents = _sample_jax(model, params, fx["nonsq_noise"],
+                                   text, pooled, "euler")
+    np.testing.assert_allclose(v_first, fx["v_first_nonsq"],
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(latents, fx["latents_nonsq"],
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_golden_kv_merge_qk_half(golden):
+    """The kv_merge_attn + qk_half_dim experiment config (reference
+    Attention.py:69-76,199-206) — fresh oracle weights from WEIGHT_SEED+1."""
+    import torch
+    from scripts.gen_golden import GOLD_EXP, WEIGHT_SEED
+    from tests.torch_ref.mini_mmdit import MiniMMDiT
+
+    fx, _, noise, text, pooled = golden
+    torch.manual_seed(WEIGHT_SEED + 1)
+    tm = MiniMMDiT(**GOLD_EXP).eval()
+    params = import_torch_state_dict(tm.state_dict())
+    del tm
+    cfg = tiny_config(**{**GOLD_EXP, "attn_type": "softmax"})
+    model = MMDiT(cfg, remat_blocks=False)
+    v_first, latents = _sample_jax(model, params, noise, text, pooled,
+                                   "euler")
+    np.testing.assert_allclose(v_first, fx["v_first_exp"],
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(latents, fx["latents_exp"],
+                               atol=5e-3, rtol=1e-3)

@@ -209,3 +209,61 @@ def test_fused_swiglu_in_model_path(monkeypatch):
     rel_u = float(jnp.linalg.norm(got_unfused - ref) / jnp.linalg.norm(ref))
     assert rel < 0.15, rel
     assert rel <= rel_u * 1.5 + 1e-3, (rel, rel_u)
+
+
+def test_fused_swiglu_block_tail():
+    """The AdaLN-prologue + gate/residual-epilogue kernel path vs the float
+    composition x + g*(w3(silu.mul(w12(adaln(x)))))."""
+    from sd3_tpu.ops.fused_mlp import fused_swiglu_int8
+    from sd3_tpu.ops.norms import layer_norm
+
+    rng = np.random.default_rng(11)
+    b, n, d, hidden = 2, 19, 64, 128
+    x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(b, d)) * 0.1, jnp.float32)
+    sc = jnp.asarray(rng.normal(size=(b, d)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, d)) * 0.5, jnp.float32)
+    w12 = jnp.asarray(rng.normal(size=(d, 2 * hidden)) * 0.08, jnp.float32)
+    b12 = jnp.asarray(rng.normal(size=(2 * hidden,)) * 0.01, jnp.float32)
+    w3 = jnp.asarray(rng.normal(size=(hidden, d)) * 0.08, jnp.float32)
+    b3 = jnp.asarray(rng.normal(size=(d,)) * 0.01, jnp.float32)
+
+    xn = layer_norm(x) * (1 + sc[:, None, :]) + sh[:, None, :]
+    x12 = xn @ w12 + b12
+    h = jax.nn.silu(x12[..., :hidden]) * x12[..., hidden:]
+    ref = x + g[:, None, :] * (h @ w3 + b3)
+
+    k12, s12 = quantize_weight(w12)
+    k3, s3 = quantize_weight(w3)
+    got = fused_swiglu_int8(x, k12, s12, b12, k3, s3, b3,
+                            shift=sh, scale=sc, gate=g, residual=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert got.shape == ref.shape
+    assert rel < 2.5e-2, rel
+
+
+def test_block_tail_model_path_env_optin(monkeypatch):
+    """SD3_MLP_TAIL_FUSION=1 routes the whole DualStreamBlock MLP half
+    through the block-tail kernel (mmdit.py mlp_tail) and matches the
+    default fused path closely (same weights, same conditioning)."""
+    cfg = tiny_config(MLP_type="swiglu", attn_type="softmax",
+                      dim=32, hidden_scale=4.0)  # hidden = 128
+    _, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+    qmodel = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+    qparams = quantize_params(params)
+
+    rng = np.random.default_rng(5)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, cfg.inCh, 16, 16)), jnp.float32)
+    t = jnp.asarray(rng.uniform(size=(b,)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, cfg.text_tokens, cfg.text_hidden_dim)),
+                    jnp.float32)
+    cp = jnp.asarray(rng.normal(size=(b, cfg.class_dim)), jnp.float32)
+
+    default = qmodel.apply({"params": qparams}, x, t, c, cp)
+    monkeypatch.setenv("SD3_MLP_TAIL_FUSION", "1")
+    tail = qmodel.apply({"params": qparams}, x, t, c, cp)
+    rel = float(jnp.linalg.norm(tail - default)
+                / jnp.linalg.norm(default))
+    # both are int8 paths differing only in h-scale granularity/fusion order
+    assert rel < 5e-2, rel

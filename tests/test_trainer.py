@@ -132,10 +132,18 @@ def test_flow_primitives():
     dict(low_mem_optimizer=True, bf16_grads=True, bf16_grad_accum=True,
          accumulation_steps=2),
     dict(remat_blocks=False, accumulation_steps=1),
+    # bf16 compute: precast_params moves the f32->bf16 cast outside remat
+    # (HBM-bound step optimization); both settings must learn
+    dict(low_mem_optimizer=True, bf16_grads=True, accumulation_steps=1,
+         precast_params=True, dtype="bfloat16"),
+    dict(low_mem_optimizer=True, bf16_grads=True, accumulation_steps=2,
+         bf16_grad_accum=True, precast_params=False, dtype="bfloat16"),
 ])
 def test_memory_variant_trainers_learn(tmp_path, kw):
-    """bf16-grad / bf16-carry / no-remat trainer variants all decrease loss."""
-    cfg = tiny_config()
+    """bf16-grad / bf16-carry / no-remat / precast trainer variants all
+    decrease loss."""
+    kw = dict(kw)
+    cfg = tiny_config(dtype=kw.pop("dtype", "float32"))
     tcfg = TrainConfig(batch_size=4, total_steps=10, warmup_steps=2,
                        ema_update_freq=10**9, log_steps=10**9,
                        num_save_steps=10**9, lr=1e-3,
