@@ -95,17 +95,24 @@ def bench_sampling(args):
     # NOTE: device_get (not block_until_ready) — the axon platform's
     # block_until_ready returns before execution completes; forcing the
     # device->host transfer of the result is the reliable fence.
-    run = lambda: float(np.asarray(fn(params, x, th, tp, rng,
-                                      jnp.float32(5.0))).ravel()[0])
+    dispatch = lambda: fn(params, x, th, tp, rng, jnp.float32(5.0))
+    fence = lambda r: float(np.asarray(r).ravel()[0])
     t0 = time.time()
-    run()
+    fence(dispatch())
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
+    # PIPELINED timing: dispatch the whole group, fence once. Every
+    # dispatch+fetch round on the tunneled axon backend costs a ~35ms RTT
+    # (scripts/rtt_probe.py); fencing per iteration would bill that RTT to
+    # every sample call. A serving loop keeps the device queue full, so the
+    # steady-state number is the honest one. Executions on the single chip
+    # serialize in dispatch order — fencing the last fences the group.
     times = []
-    for _ in range(args.iters):
+    for _ in range(2):
         t0 = time.time()
-        run()
-        times.append(time.time() - t0)
+        outs = [dispatch() for _ in range(args.iters)]
+        fence(outs[-1])
+        times.append((time.time() - t0) / args.iters)
     dt = min(times)
     imgs_per_sec = b / dt
     log(f"sample times: {[f'{t:.2f}' for t in times]} -> {imgs_per_sec:.3f} img/s")
@@ -148,6 +155,8 @@ def bench_train(args):
                        bf16_grads=args.bf16_grads,
                        bf16_grad_accum=args.bf16_grads,
                        precast_params=args.precast,
+                       fused_optimizer=args.fused_opt,
+                       scan_blocks=args.scan,
                        remat_blocks=not args.no_remat)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
     it = synthetic_batch_iter(cfg, args.batch, args.acc, args.res, args.res)
@@ -157,11 +166,18 @@ def bench_train(args):
     t0 = time.time()
     force(trainer.train_step(batch))
     log(f"compile+first step: {time.time()-t0:.1f}s")
+    # pipelined group timing (see the sampling bench note): steps chain
+    # through the donated params, so dispatching `iters` steps and fencing
+    # the last metric times steady-state training without billing the ~35ms
+    # axon dispatch/fetch RTT to every step — which is exactly how the real
+    # Trainer.train loop behaves (loss fetched only at log_steps).
+    giters = max(args.iters, 8)  # steps are short; amortize the RTT to <1.5%
     times = []
-    for _ in range(args.iters):
+    for _ in range(2):
         t0 = time.time()
-        force(trainer.train_step(batch))
-        times.append(time.time() - t0)
+        ms = [trainer.train_step(batch) for _ in range(giters)]
+        force(ms[-1])
+        times.append((time.time() - t0) / giters)
     dt = min(times)
     imgs = args.batch * args.acc  # per optimizer step
     img_tokens = cfg.img_tokens(args.res // 8, args.res // 8)
@@ -199,8 +215,23 @@ def main():
                    choices=["nothing", "dots", "attn", "dots_attn"])
     p.add_argument("--acc", type=int, default=1,
                    help="gradient accumulation steps (train bench)")
-    p.add_argument("--bf16_grads", action="store_true",
+    p.add_argument("--bf16_grads", action="store_true", default=True,
                    help="bf16 gradient tree (train bench; frees 2.3GB)")
+    p.add_argument("--no_bf16_grads", dest="bf16_grads", action="store_false")
+    # fused optimizer: single-pass per-leaf AdamW producing (p, mu, nu) in
+    # one multi-output fusion, replacing the optax update/apply pair (which
+    # materializes an fp32 updates tree + extra moment passes — see
+    # training/optim.py fused_adamw_low_mem). Default ON for the
+    # single-chip train bench.
+    p.add_argument("--fused_opt", action="store_true", default=True,
+                   help="single-pass fused AdamW (train bench)")
+    p.add_argument("--no_fused_opt", dest="fused_opt", action="store_false")
+    # scan-over-blocks keeps the full stacked params + grads live through
+    # the whole backward (single arrays can't retire incrementally) — OOMs
+    # the 1.2B model at 256px b16 on one 16G chip; opt-in for smaller runs.
+    p.add_argument("--scan", action="store_true", default=False,
+                   help="scan-over-blocks stacked-param layout (train bench)")
+    p.add_argument("--no_scan", dest="scan", action="store_false")
     p.add_argument("--no_remat", action="store_true",
                    help="store block activations instead of recomputing "
                         "(train bench; fits 256px batch<=16)")

@@ -29,6 +29,8 @@ torch.utils.checkpoint flags (Transformer_Block_Dual.py:60-76).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -112,6 +114,56 @@ class DualStreamBlock(nn.Module):
         return x, c
 
 
+class _ScanBody(nn.Module):
+    """One scan iteration over the stacked transformer blocks: carry is
+    (x, c); y is broadcast (each block applies its own y_proj). `block_cls`
+    is DualStreamBlock, optionally already remat-wrapped."""
+
+    cfg: MMDiTConfig
+    fused_attn: bool
+    hw: tuple
+    block_cls: Any = DualStreamBlock
+
+    @nn.compact
+    def __call__(self, carry, y):
+        x, c = carry
+        x, c = self.block_cls(self.cfg, 0, False, self.fused_attn,
+                              name="block")(x, c, y, self.hw)
+        return (x, c), None
+
+
+def to_scan_params(params: dict, num_scan: int) -> dict:
+    """Canonical per-block tree (blocks_0..blocks_{n-1}) -> scan layout:
+    blocks_0..{num_scan-1} stacked on a leading axis under
+    blocks_stack/block; later blocks (the `last=True` tail) stay unrolled.
+    Exact inverse of `from_scan_params`; checkpoints always store the
+    canonical layout."""
+    import re
+    out = {k: v for k, v in params.items()
+           if not re.fullmatch(r"blocks_(\d+)", k)
+           or int(k.split("_")[1]) >= num_scan}
+    stacked = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls),
+        *[params[f"blocks_{i}"] for i in range(num_scan)])
+    out["blocks_stack"] = {"block": stacked}
+    return out
+
+
+def from_scan_params(params: dict, num_scan: int) -> dict:
+    """Inverse of `to_scan_params` (scan layout -> canonical per-block)."""
+    out = {k: v for k, v in params.items() if k != "blocks_stack"}
+    st = params["blocks_stack"]["block"]
+    for i in range(num_scan):
+        out[f"blocks_{i}"] = jax.tree_util.tree_map(lambda x: x[i], st)
+    return out
+
+
+def num_scan_blocks(cfg: MMDiTConfig) -> int:
+    """Blocks eligible for the scanned stack: every block except a trailing
+    `last=True` block (which drops the text-stream output path)."""
+    return cfg.num_blocks if cfg.text_loss else cfg.num_blocks - 1
+
+
 class MMDiT(nn.Module):
     """The full diffusion transformer. Input latents are NCHW like the
     reference; internally everything is (B, N, D) tokens."""
@@ -126,6 +178,16 @@ class MMDiT(nn.Module):
     remat_policy: str = "nothing"
     # False for training (see JointAttention.use_fused)
     fused_attn: bool = True
+    # lax.scan over the (identical) non-last blocks with params stacked on a
+    # leading axis. TPU-idiomatic training layout: the backward recomputes
+    # one block at a time (XLA cannot hoist recomputes across scan
+    # iterations, so peak memory stops scaling with depth), the train step
+    # compiles ~19x faster, and the parameter tree collapses from ~700 to
+    # ~90 leaves (the per-leaf optimizer dispatch measured 128 ms/step on
+    # the 1.2B model). Checkpoints stay in the canonical per-block layout
+    # (to_scan_params/from_scan_params at the I/O boundary). Not supported
+    # with attn_type="both" (needs a static per-layer branch).
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x_t, t, c, c_pooled,
@@ -202,7 +264,21 @@ class MMDiT(nn.Module):
             }[self.remat_policy]
             block_cls = nn.remat(DualStreamBlock, static_argnums=(4,),
                                  prevent_cse=False, policy=policy)
-        for i in range(cfg.num_blocks):
+        start = 0
+        if self.scan_blocks:
+            assert cfg.attn_type != "both", \
+                "scan_blocks needs identical blocks (attn_type='both' " \
+                "alternates by layer parity) — use scan_blocks=False"
+            start = num_scan_blocks(cfg)
+            scanned = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=start,
+            )(cfg, self.fused_attn, hw, block_cls, name="blocks_stack")
+            (x, c_tok), _ = scanned((x, c_tok), y)
+        for i in range(start, cfg.num_blocks):
             last = (i == cfg.num_blocks - 1) and not cfg.text_loss
             x, c_tok = block_cls(cfg, i, last, self.fused_attn,
                                  name=f"blocks_{i}")(x, c_tok, y, hw)

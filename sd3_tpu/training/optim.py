@@ -30,6 +30,84 @@ def global_norm_f32(tree) -> jax.Array:
                         for x in leaves))
 
 
+def fused_adamw_low_mem(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=0.01, state_dtype=jnp.bfloat16,
+                        clip_norm=None):
+    """Single-pass fused AdamW over the parameter TREE (bf16 moments, fp32
+    math), applying the update in place instead of returning an optax
+    updates tree.
+
+    Why this exists: the optax-shaped `adamw_low_mem` + `apply_updates`
+    measured 128 ms/step on the 1.2B model (scripts/train_probe.py, 256px
+    b16) against a ~27 ms HBM roofline. The structural cost is TRAFFIC, not
+    just dispatch: optax's update/apply split materializes a full fp32
+    updates tree (5GB written + re-read on 1.2B params) and the mu/nu
+    recomputation adds two more passes over the gradients — ~52GB moved
+    where one fused pass needs ~22.5GB. Producing (new_p, new_mu, new_nu)
+    per leaf in ONE multi-output fusion removes the extra passes; XLA fuses
+    the per-leaf chain into a single kernel with three outputs.
+
+    MEASURED DEAD ENDS (round 3, don't redo): re-laying the masters/moments
+    out as flat vectors — one (N,) vector or per-block (P,) buckets — to cut
+    kernel count further. Both OOM the 16G chip at 256px b16: the (P,)
+    linear <-> (in,out) tiled layout mismatch makes every param view a real
+    copy, and the grad-tree -> vector concat (or scatter-VJP chain) co-lives
+    with the grad tree at the end of the backward (+2.5GB where the budget
+    has none). Tree-form leaves keep XLA's per-leaf liveness; the single
+    fused pass already removes ~2/3 of the update's HBM traffic.
+
+    Update math is element-for-element identical to `adamw_low_mem` (same
+    clip folding, same bf16 moment round-trip), and the state is the same
+    `AdamWLowMemState` — checkpoints interchange freely with the optax path.
+
+    Returns (init, update) where
+      init(params)                 -> AdamWLowMemState
+      update(grads, state, params) -> (new_params, new_state, grad_norm)
+    """
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, state_dtype)
+        return AdamWLowMemState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        gnorm = global_norm_f32(grads)
+        if clip_norm is not None:
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+        else:
+            scale = jnp.float32(1.0)
+        cf = count.astype(jnp.float32)
+
+        def upd(g, mu, nu, p):
+            gf = g.astype(jnp.float32) * scale
+            mu_f = b1 * mu.astype(jnp.float32) + (1 - b1) * gf
+            nu_f = b2 * nu.astype(jnp.float32) + (1 - b2) * gf * gf
+            mu_hat = mu_f / (1 - b1 ** cf)
+            nu_hat = nu_f / (1 - b2 ** cf)
+            pf = p.astype(jnp.float32)
+            step = mu_hat / (jnp.sqrt(nu_hat) + eps) + weight_decay * pf
+            return ((pf - lr * step).astype(p.dtype),
+                    mu_f.astype(state_dtype), nu_f.astype(state_dtype))
+
+        out = jax.tree_util.tree_map(
+            lambda g, mu, nu, p: upd(g, mu, nu, p),
+            grads, state.mu, state.nu, params)
+        # out is a tree of (p, mu, nu) TUPLES; transpose to three trees
+        new_p = jax.tree_util.tree_map(lambda t: t[0], out,
+                                       is_leaf=lambda t: isinstance(t, tuple))
+        new_mu = jax.tree_util.tree_map(lambda t: t[1], out,
+                                        is_leaf=lambda t: isinstance(t, tuple))
+        new_nu = jax.tree_util.tree_map(lambda t: t[2], out,
+                                        is_leaf=lambda t: isinstance(t, tuple))
+        return new_p, AdamWLowMemState(count, new_mu, new_nu), gnorm
+
+    return init, update
+
+
 def adamw_low_mem(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
                   weight_decay=0.01, state_dtype=jnp.bfloat16,
                   clip_norm=None) -> optax.GradientTransformation:

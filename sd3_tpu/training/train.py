@@ -47,6 +47,14 @@ def build_argparser():
     p.add_argument("--low_mem_optimizer", action="store_true",
                    help="bf16 Adam moments + clip folded into the update "
                         "(1.2B AdamW fits one 16GB chip)")
+    p.add_argument("--fused_optimizer", action="store_true",
+                   help="single-pass fused AdamW: one multi-output fusion "
+                        "per leaf instead of the optax update/apply pair "
+                        "(training/optim.py); implies --low_mem_optimizer")
+    p.add_argument("--scan_blocks", action="store_true",
+                   help="scan-over-blocks stacked-param layout (single "
+                        "device; bounds remat memory to one block, ~19x "
+                        "faster compile). Checkpoints stay per-block.")
     p.add_argument("--remat_policy", default="nothing",
                    choices=["nothing", "dots", "attn", "dots_attn"])
     p.add_argument("--no_remat", action="store_true",
@@ -145,7 +153,9 @@ def main(argv=None):
         text_loss_weight=args.text_loss_weight,
         bf16_grad_accum=args.bf16_grad_accum,
         bf16_grads=args.bf16_grads,
-        low_mem_optimizer=args.low_mem_optimizer,
+        low_mem_optimizer=args.low_mem_optimizer or args.fused_optimizer,
+        fused_optimizer=args.fused_optimizer,
+        scan_blocks=args.scan_blocks,
         remat_policy=args.remat_policy,
         remat_blocks=not args.no_remat,
         log_steps=args.log_steps, num_save_steps=args.numSaveSteps,

@@ -88,6 +88,21 @@ class TrainConfig:
     # batch<=16 they fit HBM and the backward skips the full forward
     # recompute (~30% of the step under remat).
     remat_blocks: bool = True
+    # Single-pass fused AdamW (training/optim.py fused_adamw_low_mem): one
+    # multi-output fusion per leaf producing (new_p, new_mu, new_nu),
+    # applied in place. The optax-shaped update+apply measured 128 ms/step
+    # on the 1.2B model vs a ~27 ms HBM bound — mostly REDUNDANT TRAFFIC (a
+    # materialized fp32 updates tree + separate mu/nu passes, ~52GB moved
+    # per step where one pass needs ~22.5GB). Same math and the same
+    # AdamWLowMemState as the optax path (checkpoints interchange);
+    # requires low_mem_optimizer.
+    fused_optimizer: bool = False
+    # lax.scan over the identical non-last blocks with stacked params
+    # (models/mmdit.py scan_blocks): bounds backward-recompute memory to one
+    # block, ~19x faster train compile, ~90-leaf param tree. Single-device
+    # only for now (the GSPMD sharding rules are written for the canonical
+    # per-block layout). Checkpoints stay canonical.
+    scan_blocks: bool = False
     save_dir: str = "checkpoints/run"
     seed: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
@@ -118,15 +133,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), inner)
 
 
-def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
-                    tcfg: TrainConfig) -> Callable:
-    """One optimizer step = scan over `accumulation_steps` micro-batches.
-
-    batch: dict with
-      x0:     (acc, B, C, H, W) clean latents
-      text:   (acc, B, S, Dtxt)
-      pooled: (acc, B, P)
-    """
+def make_micro_loss(model: MMDiT, tcfg: TrainConfig) -> Callable:
     mcfg = model.cfg
     use_text_loss = mcfg.text_loss and tcfg.text_loss_weight > 0.0
 
@@ -154,6 +161,21 @@ def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
         loss = flow.velocity_loss(v_pred, x0, eps, t, tcfg.weigh_loss)
         return loss, {"loss": loss}
 
+    return micro_loss
+
+
+def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
+                    tcfg: TrainConfig) -> Callable:
+    """One optimizer step = scan over `accumulation_steps` micro-batches.
+
+    batch: dict with
+      x0:     (acc, B, C, H, W) clean latents
+      text:   (acc, B, S, Dtxt)
+      pooled: (acc, B, P)
+    """
+    mcfg = model.cfg
+    use_text_loss = mcfg.text_loss and tcfg.text_loss_weight > 0.0
+    micro_loss = make_micro_loss(model, tcfg)
     grad_fn = jax.grad(micro_loss, has_aux=True)
 
     precast = (tcfg.precast_params and tcfg.bf16_grads
@@ -228,6 +250,72 @@ def make_train_step(model: MMDiT, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def make_fused_train_step(model: MMDiT, tcfg: TrainConfig,
+                          fused_update: Callable) -> Callable:
+    """`make_train_step` with the optax update/apply pair replaced by the
+    single-pass in-place fused AdamW (TrainConfig.fused_optimizer,
+    optim.fused_adamw_low_mem). The forward/backward graph (precast views,
+    bf16 grads, scan accumulation) is byte-identical to the tree path; only
+    the optimizer tail changes — and the grad-norm metric reuses the clip
+    reduction instead of a second pass over the gradient tree."""
+    micro_loss = make_micro_loss(model, tcfg)
+    mcfg = model.cfg
+    use_text_loss = mcfg.text_loss and tcfg.text_loss_weight > 0.0
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+
+    precast = (tcfg.precast_params and tcfg.bf16_grads
+               and tcfg.low_mem_optimizer
+               and jnp.dtype(mcfg.dtype) == jnp.bfloat16)
+
+    def maybe_cast(params):
+        if not precast:
+            return params
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+
+    def train_step(params, opt_state, rng, batch):
+        acc = batch["x0"].shape[0]
+        cparams = maybe_cast(params)
+
+        if acc == 1:
+            g, metrics = grad_fn(cparams, rng, batch["x0"][0],
+                                 batch["text"][0], batch["pooled"][0])
+            if tcfg.bf16_grads and not precast:
+                g = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), g)
+        else:
+            acc_dtype = jnp.bfloat16 if tcfg.bf16_grad_accum else jnp.float32
+
+            def micro(carry, inp):
+                g_sum, metric_sum = carry
+                key, x0, text, pooled = inp
+                g, metrics = grad_fn(cparams, key, x0, text, pooled)
+                g_sum = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(a.dtype), g_sum, g)
+                metric_sum = jax.tree_util.tree_map(
+                    jnp.add, metric_sum, metrics)
+                return (g_sum, metric_sum), None
+
+            g0 = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, acc_dtype), params)
+            m0 = {"loss": jnp.zeros((), jnp.float32)}
+            if use_text_loss:
+                m0.update(image_loss=jnp.zeros(()), text_loss=jnp.zeros(()))
+            keys = jax.random.split(rng, acc)
+            (g, metrics), _ = jax.lax.scan(
+                micro, (g0, m0),
+                (keys, batch["x0"], batch["text"], batch["pooled"]))
+            g = jax.tree_util.tree_map(lambda x: x / acc, g)
+            metrics = jax.tree_util.tree_map(lambda x: x / acc, metrics)
+
+        params, opt_state, gnorm = fused_update(g, opt_state, params)
+        metrics["grad_norm"] = gnorm
+        return params, opt_state, metrics
+
+    return train_step
+
+
 def ema_update(ema, params, decay: float):
     return jax.tree_util.tree_map(
         lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params)
@@ -247,32 +335,62 @@ class Trainer:
         # through the unfused composition — a net loss under remat. Training
         # keeps the plain flash kernel with its real two-kernel VJP.
         self.model = MMDiT(cfg, remat_blocks=tcfg.remat_blocks,
-                           remat_policy=tcfg.remat_policy, fused_attn=False)
+                           remat_policy=tcfg.remat_policy, fused_attn=False,
+                           scan_blocks=tcfg.scan_blocks)
 
         rng = jax.random.PRNGKey(tcfg.seed)
         if params is None:
             from sd3_tpu.models.mmdit import init_mmdit
             _, params = init_mmdit(cfg, rng)
+
+        # params/ema arrive in the CANONICAL per-block layout (init_mmdit,
+        # torch import, checkpoints); the scan model consumes the stacked
+        # layout internally.
+        self._num_scan = 0
+        if tcfg.scan_blocks:
+            from sd3_tpu.models.mmdit import num_scan_blocks, to_scan_params
+            assert self.mesh.size == 1, \
+                "scan_blocks: GSPMD sharding rules cover the canonical " \
+                "per-block layout only (single device for now)"
+            self._num_scan = num_scan_blocks(cfg)
+            params = to_scan_params(params, self._num_scan)
+            if ema is not None:
+                ema = to_scan_params(ema, self._num_scan)
+
         self.param_shardings = param_sharding_rules(params, self.mesh)
-        self.params = jax.tree_util.tree_map(jax.device_put, params,
-                                             self.param_shardings)
-        # copy=True: astype(f32) on f32 leaves would alias the param buffers,
-        # which the donating train step then deletes out from under the EMA
+        self._params = jax.tree_util.tree_map(jax.device_put, params,
+                                              self.param_shardings)
+        # copy=True: astype(f32) on f32 leaves would alias the param
+        # buffers, which the donating train step then deletes out from
+        # under the EMA
         self.ema = None
         if tcfg.track_ema:
             self.ema = jax.tree_util.tree_map(
                 lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
-                ema if ema is not None else self.params)
+                ema if ema is not None else self._params)
 
-        self.optimizer = make_optimizer(tcfg)
-        with self.mesh:
-            self.opt_state = jax.jit(
-                self.optimizer.init,
-                out_shardings=None)(self.params)
+        if tcfg.fused_optimizer:
+            assert tcfg.low_mem_optimizer, \
+                "fused_optimizer implies bf16-moment AdamW (low_mem_optimizer)"
+            from sd3_tpu.training.optim import fused_adamw_low_mem
+            fused_init, fused_update = fused_adamw_low_mem(
+                make_lr_schedule(tcfg), b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=0.01, clip_norm=tcfg.grad_clip)
+            self.optimizer = None
+            with self.mesh:
+                self.opt_state = jax.jit(
+                    fused_init, out_shardings=None)(self._params)
+            step_fn = make_fused_train_step(self.model, tcfg, fused_update)
+        else:
+            self.optimizer = make_optimizer(tcfg)
+            with self.mesh:
+                self.opt_state = jax.jit(
+                    self.optimizer.init,
+                    out_shardings=None)(self._params)
+            step_fn = make_train_step(self.model, self.optimizer, tcfg)
         if opt_state is not None:
             self._restore_opt_state(opt_state)
 
-        step_fn = make_train_step(self.model, self.optimizer, tcfg)
         rep = replicated_sharding(self.mesh)
         self._train_step = jax.jit(
             step_fn,
@@ -289,6 +407,29 @@ class Trainer:
             # wandb on the main process only (reference subgroup-main logging,
             # model_trainer.py:321-338); per-host jsonl is kept everywhere
             use_wandb=use_wandb and jax.process_index() == 0)
+
+    def _to_canonical(self, tree):
+        if self._num_scan:
+            from sd3_tpu.models.mmdit import from_scan_params
+            return from_scan_params(tree, self._num_scan)
+        return tree
+
+    def _from_canonical(self, tree):
+        if self._num_scan:
+            from sd3_tpu.models.mmdit import to_scan_params
+            return to_scan_params(tree, self._num_scan)
+        return tree
+
+    @property
+    def params(self):
+        """fp32 master parameter TREE in the CANONICAL per-block layout.
+        On the scan path this unstacks on demand — fine for checkpoint/EMA/
+        eval use, never in the hot step."""
+        return self._to_canonical(self._params)
+
+    @params.setter
+    def params(self, value):
+        self._params = self._from_canonical(value)
 
     def shard_batch(self, batch: dict) -> dict:
         """Place a host batch with the batch axis sharded over dp×fsdp.
@@ -317,12 +458,12 @@ class Trainer:
     def train_step(self, batch: dict) -> dict:
         self.rng, key = jax.random.split(self.rng)
         with self.mesh:
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, key, batch)
+            self._params, self.opt_state, metrics = self._train_step(
+                self._params, self.opt_state, key, batch)
         self.step += 1
         if self.ema is not None and self.step % self.tcfg.ema_update_freq == 0:
             with self.mesh:
-                self.ema = self._ema_step(self.ema, self.params)
+                self.ema = self._ema_step(self.ema, self._params)
         return metrics
 
     def train(self, batch_iter, total_steps: int | None = None):
@@ -346,7 +487,12 @@ class Trainer:
         return self.step
 
     def _restore_opt_state(self, opt_state):
-        """Place a deserialized optimizer state onto the sharded template."""
+        """Place a deserialized (canonical tree-form) optimizer state."""
+        if self._num_scan:
+            type_ = type(opt_state)
+            opt_state = type_(opt_state.count,
+                              self._from_canonical(opt_state.mu),
+                              self._from_canonical(opt_state.nu))
         self.opt_state = jax.tree_util.tree_map(
             lambda t, s: jax.device_put(jnp.asarray(s), t.sharding)
             if hasattr(t, "sharding") else s,
@@ -356,11 +502,26 @@ class Trainer:
         """Load optim_{step}s.msgpack (reference optimFile resume semantics)."""
         from sd3_tpu.training.checkpoint import load_artifact
         template = jax.device_get(self.opt_state)
+        if self._num_scan:
+            # the on-disk artifact is canonical per-block; unstack the
+            # template to match before deserialization
+            type_ = type(template)
+            template = type_(template.count, self._to_canonical(template.mu),
+                             self._to_canonical(template.nu))
         self._restore_opt_state(
             load_artifact(load_dir, f"optim_{step}s.msgpack", template))
 
     def save(self):
-        params, ema, opt = self.params, self.ema, self.opt_state
+        if self._num_scan:
+            params = self._to_canonical(self._params)
+            ema = self._to_canonical(self.ema) if self.ema is not None else None
+            from sd3_tpu.training.optim import AdamWLowMemState
+            opt = self.opt_state
+            if isinstance(opt, AdamWLowMemState):
+                opt = AdamWLowMemState(opt.count, self._to_canonical(opt.mu),
+                                       self._to_canonical(opt.nu))
+        else:
+            params, ema, opt = self._params, self.ema, self.opt_state
         if jax.process_count() > 1:
             # fsdp-sharded leaves are not host-addressable across processes:
             # gather to replicated, then only the main process writes

@@ -127,6 +127,83 @@ def test_flow_primitives():
     assert float(flow.velocity_loss(eps - x0, x0, eps)) == 0.0
 
 
+def _mk_trainer(tmp, cfg, **kw):
+    tcfg = TrainConfig(batch_size=4, total_steps=10**9, warmup_steps=2,
+                       ema_update_freq=10**9, log_steps=10**9,
+                       num_save_steps=10**9, lr=1e-3, seed=0,
+                       save_dir=str(tmp), **kw)
+    return Trainer(cfg, tcfg, use_wandb=False, log_dir=str(tmp))
+
+
+def test_fused_optimizer_matches_tree_path(tmp_path):
+    """fused_optimizer (bucketed flat-vector master + AdamW) must track the
+    tree-form low_mem path: same math, only the clip-norm reduction order
+    differs."""
+    cfg = tiny_config()
+    tree_tr = _mk_trainer(tmp_path / "a", cfg, low_mem_optimizer=True,
+                          accumulation_steps=1)
+    fused_tr = _mk_trainer(tmp_path / "b", cfg, low_mem_optimizer=True,
+                           fused_optimizer=True, accumulation_steps=1,
+                           track_ema=True)
+    it = synthetic_batch_iter(cfg, 4, 1, 16, 16)
+    batch_t = tree_tr.shard_batch(next(it))
+    for _ in range(5):
+        lt = float(tree_tr.train_step(batch_t)["loss"])
+        lf = float(fused_tr.train_step(batch_t)["loss"])
+        np.testing.assert_allclose(lf, lt, rtol=1e-5)
+    a = jax.tree_util.tree_leaves(tree_tr.params)
+    b = jax.tree_util.tree_leaves(fused_tr.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_optimizer_accumulation_learns(tmp_path):
+    cfg = tiny_config()
+    tr = _mk_trainer(tmp_path, cfg, low_mem_optimizer=True,
+                     fused_optimizer=True, accumulation_steps=2,
+                     bf16_grad_accum=True)
+    it = synthetic_batch_iter(cfg, 4, 2, 16, 16)
+    batch = tr.shard_batch(next(it))
+    losses = [float(tr.train_step(batch)["loss"]) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+
+
+def test_fused_optimizer_checkpoint_interchange(tmp_path):
+    """Fused-path checkpoints are saved in the canonical tree artifact form:
+    a fused trainer's save restores into BOTH a fresh fused trainer and a
+    tree-path trainer."""
+    cfg = tiny_config()
+    tr = _mk_trainer(tmp_path / "run", cfg, low_mem_optimizer=True,
+                     fused_optimizer=True, accumulation_steps=1,
+                     track_ema=True)
+    it = synthetic_batch_iter(cfg, 4, 1, 16, 16)
+    batch = tr.shard_batch(next(it))
+    for _ in range(3):
+        tr.train_step(batch)
+    tr.save()
+    d = tr.tcfg.save_dir
+    step = tr.step
+
+    fused2 = _mk_trainer(tmp_path / "r2", cfg, low_mem_optimizer=True,
+                         fused_optimizer=True, accumulation_steps=1)
+    fused2.restore_optimizer(d, step)
+    for x, y in zip(jax.tree_util.tree_leaves(fused2.opt_state.mu),
+                    jax.tree_util.tree_leaves(tr.opt_state.mu)):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32))
+    assert int(fused2.opt_state.count) == int(tr.opt_state.count)
+
+    tree2 = _mk_trainer(tmp_path / "r3", cfg, low_mem_optimizer=True)
+    tree2.restore_optimizer(d, step)
+    got = jax.tree_util.tree_leaves(tree2.opt_state.mu)
+    want = jax.tree_util.tree_leaves(
+        jax.device_get(tr.opt_state).mu)
+    for x, y in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
+
+
 @pytest.mark.parametrize("kw", [
     dict(low_mem_optimizer=True, bf16_grads=True, accumulation_steps=1),
     dict(low_mem_optimizer=True, bf16_grads=True, bf16_grad_accum=True,
