@@ -156,6 +156,8 @@ def bench_train(args):
                        bf16_grad_accum=args.bf16_grads,
                        precast_params=args.precast,
                        fused_optimizer=args.fused_opt,
+                       moments_8bit=args.m8,
+                       split_accumulation=args.split,
                        scan_blocks=args.scan,
                        remat_blocks=not args.no_remat)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir="/tmp/bench_train")
@@ -226,6 +228,12 @@ def main():
     p.add_argument("--fused_opt", action="store_true", default=True,
                    help="single-pass fused AdamW (train bench)")
     p.add_argument("--no_fused_opt", dest="fused_opt", action="store_false")
+    p.add_argument("--m8", action="store_true",
+                   help="blockwise fp8 Adam moments (train bench; frees "
+                        "~2.5GB at 1.2B for the grad-accumulation carry)")
+    p.add_argument("--split", action="store_true",
+                   help="accumulate gradients as separate dispatches "
+                        "(acc>1; keeps each compiled graph acc=1-sized)")
     # scan-over-blocks keeps the full stacked params + grads live through
     # the whole backward (single arrays can't retire incrementally) — OOMs
     # the 1.2B model at 256px b16 on one 16G chip; opt-in for smaller runs.

@@ -51,10 +51,23 @@ def build_argparser():
                    help="single-pass fused AdamW: one multi-output fusion "
                         "per leaf instead of the optax update/apply pair "
                         "(training/optim.py); implies --low_mem_optimizer")
+    p.add_argument("--moments_8bit", action="store_true",
+                   help="blockwise fp8-e4m3 Adam moments (training/optim.py "
+                        "adamw_8bit): 8-bit optimizer state; frees ~2.5GB on "
+                        "the 1.2B model so grad accumulation fits one 16GB "
+                        "chip. Checkpoints stay bf16-canonical. Implies "
+                        "--low_mem_optimizer")
     p.add_argument("--scan_blocks", action="store_true",
                    help="scan-over-blocks stacked-param layout (single "
                         "device; bounds remat memory to one block, ~19x "
                         "faster compile). Checkpoints stay per-block.")
+    p.add_argument("--split_accumulation", action="store_true",
+                   help="gradient accumulation as separate device "
+                        "dispatches (trainer.make_split_micro_fns): every "
+                        "compiled graph stays acc=1-sized; with "
+                        "--moments_8bit and micro-batch <=8 this fits 1.2B "
+                        "acc-training on one 16GB chip. Needs "
+                        "--fused_optimizer/--moments_8bit")
     p.add_argument("--remat_policy", default="nothing",
                    choices=["nothing", "dots", "attn", "dots_attn"])
     p.add_argument("--no_remat", action="store_true",
@@ -153,8 +166,11 @@ def main(argv=None):
         text_loss_weight=args.text_loss_weight,
         bf16_grad_accum=args.bf16_grad_accum,
         bf16_grads=args.bf16_grads,
-        low_mem_optimizer=args.low_mem_optimizer or args.fused_optimizer,
+        low_mem_optimizer=(args.low_mem_optimizer or args.fused_optimizer
+                           or args.moments_8bit),
         fused_optimizer=args.fused_optimizer,
+        moments_8bit=args.moments_8bit,
+        split_accumulation=args.split_accumulation,
         scan_blocks=args.scan_blocks,
         remat_policy=args.remat_policy,
         remat_blocks=not args.no_remat,

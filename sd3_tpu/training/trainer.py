@@ -97,6 +97,22 @@ class TrainConfig:
     # AdamWLowMemState as the optax path (checkpoints interchange);
     # requires low_mem_optimizer.
     fused_optimizer: bool = False
+    # Blockwise fp8-e4m3 Adam moments (optim.adamw_8bit): moment HBM drops
+    # 5GB -> ~2.5GB on the 1.2B model and the update pass moves ~17.5GB
+    # instead of ~22.5GB. The freed 2.5GB is what lets gradient
+    # accumulation (the reference's acc=2, train.py:14) fit next to the
+    # 1.2B master+moment set on a 16GB chip. Checkpoints store the
+    # canonical bf16 AdamWLowMemState (dequantized on save, re-quantized on
+    # resume), so 8-bit and bf16 trainers resume from each other freely.
+    # Implies the fused step path; requires low_mem_optimizer.
+    moments_8bit: bool = False
+    # Gradient accumulation as separate device dispatches instead of one
+    # lax.scan graph (see make_split_micro_fns): every compiled graph stays
+    # acc=1-sized — the monolithic 1.2B acc>=2 graph crashes the XLA
+    # compile service — and the on-the-fly bf16 casts inside each micro
+    # graph free the precast tree so the bf16 grad carry fits on a 16GB
+    # chip. Effective only with accumulation_steps > 1 on the fused path.
+    split_accumulation: bool = False
     # lax.scan over the identical non-last blocks with stacked params
     # (models/mmdit.py scan_blocks): bounds backward-recompute memory to one
     # block, ~19x faster train compile, ~90-leaf param tree. Single-device
@@ -316,6 +332,75 @@ def make_fused_train_step(model: MMDiT, tcfg: TrainConfig,
     return train_step
 
 
+def make_split_micro_fns(model: MMDiT, tcfg: TrainConfig,
+                         fused_update: Callable):
+    """Gradient accumulation as SEPARATE device dispatches (TrainConfig.
+    split_accumulation): per-micro-batch grad graph + a grad-add + the
+    fused optimizer tail, each its own jit.
+
+    Why not one lax.scan graph (make_fused_train_step): at 1.2B params the
+    monolithic acc>=2 train step reproducibly crashes the remote XLA
+    compile service (HTTP 500 at 256px b8/b16 acc2, round 3), and the
+    scan-over-blocks variant that compiles OOMs at runtime (the stacked
+    grad carry + remat stack co-live). Splitting keeps every compiled
+    graph exactly as big as the proven acc=1 step, while the Python loop
+    pipelines dispatches (no host sync between micro-batches).
+
+    No precast: the micro graph consumes the fp32 masters directly and the
+    modules' flax `dtype=bf16` casts each weight AT USE, INSIDE the remat
+    block boundary — so the bf16 copies are recomputed in the backward and
+    stay transient. Measured alternatives (scripts/split_mem_probe.py,
+    1.2B 256px b16, all worse):
+      - whole-tree cast before grad_fn (precast or in-micro): the bf16
+        tree becomes a remat-block INPUT that JAX saves fwd->bwd — a
+        resident 2.5GB next to the carry;
+      - a PERSISTENT bf16 tree refreshed by `finish`: micro temp does not
+        shrink (XLA's grad-graph temp is working-set- not cotangent-dtype-
+        bound: 8.9GB bf16 vs 6.6GB f32 at b16) and the masters sit idle
+        but resident, raising the floor by 2.4GB.
+
+    Accumulation is fused INTO the grad graph: `micro_acc` takes the bf16
+    carry as a DONATED argument and adds each grad leaf into it inside the
+    same jit — XLA fuses `carry + grad.astype(bf16)` into the wgrad
+    producers and writes in place, so a second whole grad tree never
+    exists. (A separate accum dispatch — the first design — holds the
+    fresh grad tree AND the carry live between dispatches: +2.5GB;
+    measured round 3.)
+
+    The 1.2B fit on one 16GB chip is micro-batch <= 8 (b16 micros leave
+    ~6.6GB of XLA temp for the backward working set and OOM next to the
+    9.9GB resident floor of masters+fp8 moments+carry); b8 x acc matches
+    the reference's acc=2 semantics at half the per-dispatch footprint.
+
+    Returns (micro0, micro_acc, finish):
+      micro0(params, rng, x0, text, pooled)            -> (g_bf16, metrics)
+      micro_acc(params, carry, rng, x0, text, pooled)  -> (carry', metrics)
+      finish(g, opt_state, params) -> (params', opt_state', gnorm)
+    """
+    assert tcfg.bf16_grads and tcfg.low_mem_optimizer, \
+        "split_accumulation requires bf16_grads + low_mem_optimizer"
+    micro_loss = make_micro_loss(model, tcfg)
+    grad_fn = jax.grad(micro_loss, has_aux=True)
+    acc = tcfg.accumulation_steps
+
+    def micro0(params, rng, x0, text, pooled):
+        g, metrics = grad_fn(params, rng, x0, text, pooled)
+        g = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), g)
+        return g, metrics
+
+    def micro_acc(params, carry, rng, x0, text, pooled):
+        g, metrics = grad_fn(params, rng, x0, text, pooled)
+        carry = jax.tree_util.tree_map(
+            lambda c, x: c + x.astype(c.dtype), carry, g)
+        return carry, metrics
+
+    def finish(g, opt_state, params):
+        g = jax.tree_util.tree_map(lambda x: x / acc, g)
+        return fused_update(g, opt_state, params)
+
+    return micro0, micro_acc, finish
+
+
 def ema_update(ema, params, decay: float):
     return jax.tree_util.tree_map(
         lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), ema, params)
@@ -369,19 +454,41 @@ class Trainer:
                 lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
                 ema if ema is not None else self._params)
 
-        if tcfg.fused_optimizer:
+        if tcfg.fused_optimizer or tcfg.moments_8bit:
             assert tcfg.low_mem_optimizer, \
                 "fused_optimizer implies bf16-moment AdamW (low_mem_optimizer)"
-            from sd3_tpu.training.optim import fused_adamw_low_mem
-            fused_init, fused_update = fused_adamw_low_mem(
-                make_lr_schedule(tcfg), b1=0.9, b2=0.999, eps=1e-8,
-                weight_decay=0.01, clip_norm=tcfg.grad_clip)
+            if tcfg.moments_8bit:
+                from sd3_tpu.training.optim import adamw_8bit
+                fused_init, fused_update = adamw_8bit(
+                    make_lr_schedule(tcfg), b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=0.01, clip_norm=tcfg.grad_clip)
+            else:
+                from sd3_tpu.training.optim import fused_adamw_low_mem
+                fused_init, fused_update = fused_adamw_low_mem(
+                    make_lr_schedule(tcfg), b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=0.01, clip_norm=tcfg.grad_clip)
             self.optimizer = None
             with self.mesh:
                 self.opt_state = jax.jit(
                     fused_init, out_shardings=None)(self._params)
             step_fn = make_fused_train_step(self.model, tcfg, fused_update)
+            if tcfg.split_accumulation and tcfg.accumulation_steps > 1:
+                micro0, micro_acc, finish = make_split_micro_fns(
+                    self.model, tcfg, fused_update)
+                rep0 = replicated_sharding(self.mesh)
+                self._micro_step = jax.jit(
+                    micro0, in_shardings=(self.param_shardings, rep0,
+                                          None, None, None))
+                self._micro_acc_step = jax.jit(
+                    micro_acc,
+                    in_shardings=(self.param_shardings, None, rep0,
+                                  None, None, None),
+                    donate_argnums=(1,))
+                self._finish_step = jax.jit(finish, donate_argnums=(0, 1, 2))
         else:
+            assert not tcfg.split_accumulation, \
+                "split_accumulation needs the fused optimizer path " \
+                "(fused_optimizer or moments_8bit)"
             self.optimizer = make_optimizer(tcfg)
             with self.mesh:
                 self.opt_state = jax.jit(
@@ -391,8 +498,11 @@ class Trainer:
         if opt_state is not None:
             self._restore_opt_state(opt_state)
 
+        self._split = (tcfg.split_accumulation
+                       and tcfg.accumulation_steps > 1
+                       and (tcfg.fused_optimizer or tcfg.moments_8bit))
         rep = replicated_sharding(self.mesh)
-        self._train_step = jax.jit(
+        self._train_step = None if self._split else jax.jit(
             step_fn,
             in_shardings=(self.param_shardings, None, rep, None),
             donate_argnums=(0, 1),
@@ -458,13 +568,36 @@ class Trainer:
     def train_step(self, batch: dict) -> dict:
         self.rng, key = jax.random.split(self.rng)
         with self.mesh:
-            self._params, self.opt_state, metrics = self._train_step(
-                self._params, self.opt_state, key, batch)
+            if self._split:
+                metrics = self._split_train_step(key, batch)
+            else:
+                self._params, self.opt_state, metrics = self._train_step(
+                    self._params, self.opt_state, key, batch)
         self.step += 1
         if self.ema is not None and self.step % self.tcfg.ema_update_freq == 0:
             with self.mesh:
                 self.ema = self._ema_step(self.ema, self._params)
         return metrics
+
+    def _split_train_step(self, key, batch: dict) -> dict:
+        """Python-loop accumulation (make_split_micro_fns): all dispatches
+        are async, so micro-batches pipeline on the device without host
+        syncs; only the caller's eventual metric fetch fences."""
+        acc = batch["x0"].shape[0]
+        keys = jax.random.split(key, acc)
+        g, metrics = self._micro_step(self._params, keys[0], batch["x0"][0],
+                                      batch["text"][0], batch["pooled"][0])
+        ms = [metrics]
+        for i in range(1, acc):
+            g, mi = self._micro_acc_step(self._params, g, keys[i],
+                                         batch["x0"][i], batch["text"][i],
+                                         batch["pooled"][i])
+            ms.append(mi)
+        self._params, self.opt_state, gnorm = self._finish_step(
+            g, self.opt_state, self._params)
+        out = jax.tree_util.tree_map(lambda *xs: sum(xs) / acc, *ms)
+        out["grad_norm"] = gnorm
+        return out
 
     def train(self, batch_iter, total_steps: int | None = None):
         total = total_steps or self.tcfg.total_steps
@@ -488,11 +621,17 @@ class Trainer:
 
     def _restore_opt_state(self, opt_state):
         """Place a deserialized (canonical tree-form) optimizer state."""
+        from sd3_tpu.training.optim import Adam8bitState, quantize_8bit
         if self._num_scan:
             type_ = type(opt_state)
             opt_state = type_(opt_state.count,
                               self._from_canonical(opt_state.mu),
                               self._from_canonical(opt_state.nu))
+        if isinstance(self.opt_state, Adam8bitState):
+            # artifacts store the canonical bf16 AdamWLowMemState
+            # (see save()); re-quantize into the live 8-bit layout
+            with self.mesh:
+                opt_state = jax.jit(quantize_8bit)(opt_state, self._params)
         self.opt_state = jax.tree_util.tree_map(
             lambda t, s: jax.device_put(jnp.asarray(s), t.sharding)
             if hasattr(t, "sharding") else s,
@@ -500,28 +639,45 @@ class Trainer:
 
     def restore_optimizer(self, load_dir: str, step: int):
         """Load optim_{step}s.msgpack (reference optimFile resume semantics)."""
+        import numpy as np
         from sd3_tpu.training.checkpoint import load_artifact
-        template = jax.device_get(self.opt_state)
-        if self._num_scan:
-            # the on-disk artifact is canonical per-block; unstack the
-            # template to match before deserialization
-            type_ = type(template)
-            template = type_(template.count, self._to_canonical(template.mu),
-                             self._to_canonical(template.nu))
+        from sd3_tpu.training.optim import Adam8bitState, AdamWLowMemState
+        if isinstance(self.opt_state, Adam8bitState):
+            # the on-disk artifact is the canonical bf16 AdamWLowMemState;
+            # build its msgpack template from canonical param shapes
+            shapes = jax.eval_shape(self._to_canonical, self._params)
+            zt = lambda: jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, "bfloat16"), shapes)
+            template = AdamWLowMemState(np.zeros((), "int32"), zt(), zt())
+        else:
+            template = jax.device_get(self.opt_state)
+            if self._num_scan:
+                # the on-disk artifact is canonical per-block; unstack the
+                # template to match before deserialization
+                type_ = type(template)
+                template = type_(template.count,
+                                 self._to_canonical(template.mu),
+                                 self._to_canonical(template.nu))
         self._restore_opt_state(
             load_artifact(load_dir, f"optim_{step}s.msgpack", template))
 
     def save(self):
+        from sd3_tpu.training.optim import (Adam8bitState, AdamWLowMemState,
+                                            dequantize_8bit)
+        opt = self.opt_state
+        if isinstance(opt, Adam8bitState):
+            # canonical on-disk form is the bf16 AdamWLowMemState, so 8-bit
+            # and bf16/optax trainers resume from each other's artifacts
+            with self.mesh:
+                opt = jax.jit(dequantize_8bit)(opt, self._params)
         if self._num_scan:
             params = self._to_canonical(self._params)
             ema = self._to_canonical(self.ema) if self.ema is not None else None
-            from sd3_tpu.training.optim import AdamWLowMemState
-            opt = self.opt_state
             if isinstance(opt, AdamWLowMemState):
                 opt = AdamWLowMemState(opt.count, self._to_canonical(opt.mu),
                                        self._to_canonical(opt.nu))
         else:
-            params, ema, opt = self._params, self.ema, self.opt_state
+            params, ema = self._params, self.ema
         if jax.process_count() > 1:
             # fsdp-sharded leaves are not host-addressable across processes:
             # gather to replicated, then only the main process writes

@@ -87,3 +87,67 @@ def test_low_mem_adamw_accepts_bf16_grads():
     assert u16["w"].dtype == jnp.float32  # updates in param dtype
     np.testing.assert_allclose(np.asarray(u16["w"]), np.asarray(u32["w"]),
                                rtol=1e-2, atol=1e-5)
+
+
+def test_adamw_8bit_tracks_fused():
+    """Blockwise-fp8 moments must track the bf16-moment fused update within
+    quantization noise over several steps (large leaf -> quantized path,
+    small leaf -> bf16 path)."""
+    from sd3_tpu.training.optim import (adamw_8bit, fused_adamw_low_mem,
+                                        Adam8bitState, QMIN)
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((128, 64), dtype=np.float32)),
+        "b": jnp.asarray(rng.standard_normal((32,), dtype=np.float32)),
+    }
+    assert params["w"].size >= QMIN and params["b"].size < QMIN
+    i8, u8 = adamw_8bit(1e-2, clip_norm=1.0)
+    ib, ub = fused_adamw_low_mem(1e-2, clip_norm=1.0)
+    s8, sb = i8(params), ib(params)
+    assert isinstance(s8, Adam8bitState)
+    assert s8.mu_q["w"].dtype == jnp.float8_e4m3fn
+    assert s8.mu_q["b"].dtype == jnp.bfloat16
+    assert s8.mu_s["b"].size == 0
+
+    p8 = pb = params
+    for step in range(8):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape,
+                                                      dtype=np.float32)),
+            params)
+        p8, s8, n8 = u8(g, s8, p8)
+        pb, sb, nb = ub(g, sb, pb)
+        np.testing.assert_allclose(float(n8), float(nb), rtol=1e-5)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(pb[k]),
+                                   atol=2e-2, rtol=8e-2)
+
+
+def test_adamw_8bit_state_roundtrip():
+    """dequantize_8bit/quantize_8bit round-trip (the checkpoint boundary)
+    preserves moments to fp8 resolution and the count exactly."""
+    from sd3_tpu.training.optim import (adamw_8bit, dequantize_8bit,
+                                        quantize_8bit)
+
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.standard_normal((80, 70),
+                                                   dtype=np.float32)),
+              "b": jnp.asarray(rng.standard_normal((8,), dtype=np.float32))}
+    init, upd = adamw_8bit(1e-3)
+    s = init(params)
+    for _ in range(3):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape,
+                                                      dtype=np.float32)), params)
+        params, s, _ = upd(g, s, params)
+
+    canon = dequantize_8bit(s, params)
+    s2 = quantize_8bit(canon, params)
+    assert int(s2.count) == int(s.count)
+    for k in ("w", "b"):
+        a = np.asarray(dequantize_8bit(s2, params).mu[k], np.float32)
+        b = np.asarray(canon.mu[k], np.float32)
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=8e-2)
+    # w: padded tail must not leak nonzero into the block layout
+    assert s2.mu_q["w"].shape[1] == 256

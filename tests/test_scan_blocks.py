@@ -136,3 +136,35 @@ def test_scan_rejects_attn_both():
     x, t, c, cp = _inputs(cfg, b=1)
     with pytest.raises(AssertionError):
         model.init(jax.random.PRNGKey(0), x, t, c, cp)
+
+
+def test_scan_m8_acc2_combo_learns(tmp_path):
+    """The single-chip stage-1 memory config (scan_blocks + fp8 moments +
+    acc=2 + on-the-fly casts) must learn and keep canonical checkpoints."""
+    from sd3_tpu.training.optim import Adam8bitState
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=4, accumulation_steps=2, total_steps=10**9,
+                       warmup_steps=2, ema_update_freq=10**9,
+                       log_steps=10**9, num_save_steps=10**9, lr=1e-3,
+                       seed=0, save_dir=str(tmp_path),
+                       low_mem_optimizer=True, moments_8bit=True,
+                       scan_blocks=True, precast_params=False,
+                       bf16_grads=True, bf16_grad_accum=True)
+    tr = Trainer(cfg, tcfg, use_wandb=False, log_dir=str(tmp_path))
+    assert isinstance(tr.opt_state, Adam8bitState)
+    it = synthetic_batch_iter(cfg, 4, 2, 16, 16)
+    batch = tr.shard_batch(next(it))
+    losses = [float(tr.train_step(batch)["loss"]) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+    tr.save()
+    # artifact must be canonical per-block bf16 (loadable by a plain
+    # unrolled low-mem trainer)
+    tcfg2 = TrainConfig(batch_size=4, total_steps=10**9, warmup_steps=2,
+                        ema_update_freq=10**9, log_steps=10**9,
+                        num_save_steps=10**9, lr=1e-3, seed=0,
+                        save_dir=str(tmp_path / "b"), low_mem_optimizer=True)
+    tr2 = Trainer(cfg, tcfg2, use_wandb=False, log_dir=str(tmp_path / "b"))
+    tr2.restore_optimizer(str(tmp_path), tr.step)
+    l2 = float(tr2.train_step(batch)["loss"])
+    assert np.isfinite(l2)

@@ -231,3 +231,70 @@ def test_memory_variant_trainers_learn(tmp_path, kw):
     losses = [float(tr.train_step(batch)["loss"]) for _ in range(8)]
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_moments_8bit_trainer_learns_and_checkpoints(tmp_path):
+    """8-bit-moment trainer: learns, saves the CANONICAL bf16 optim
+    artifact, and both an 8-bit and a plain low-mem trainer resume from it
+    (universal checkpoint policy, training/optim.py dequantize_8bit)."""
+    from sd3_tpu.training.optim import Adam8bitState
+
+    cfg = tiny_config()
+    tr = _mk_trainer(tmp_path / "a", cfg, low_mem_optimizer=True,
+                     moments_8bit=True, accumulation_steps=1)
+    assert isinstance(tr.opt_state, Adam8bitState)
+    it = synthetic_batch_iter(cfg, 4, 1, 16, 16)
+    batch = tr.shard_batch(next(it))
+    losses = [float(tr.train_step(batch)["loss"]) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+    tr.save()
+    step = tr.step
+
+    # resume into another 8-bit trainer
+    tr8 = _mk_trainer(tmp_path / "b", cfg, low_mem_optimizer=True,
+                      moments_8bit=True)
+    tr8.restore_optimizer(str(tmp_path / "a"), step)
+    assert int(tr8.opt_state.count) == 8
+    l8 = float(tr8.train_step(batch)["loss"])
+
+    # resume into a plain bf16 low-mem trainer (canonical artifact)
+    trb = _mk_trainer(tmp_path / "c", cfg, low_mem_optimizer=True,
+                      fused_optimizer=True)
+    trb.restore_optimizer(str(tmp_path / "a"), step)
+    assert int(trb.opt_state.count) == 8
+    lb = float(trb.train_step(batch)["loss"])
+    assert np.isfinite(l8) and np.isfinite(lb)
+
+
+def test_split_accumulation_matches_monolithic(tmp_path):
+    """split_accumulation (separate micro/accum/finish dispatches) must
+    reproduce the monolithic scan-accumulation fused step: same per-step
+    losses and same parameters after several steps (both paths sum grads
+    then divide by acc; the only difference is dispatch granularity)."""
+    cfg = tiny_config()
+    # precast_params=False on the monolithic side: both paths then
+    # differentiate against fp32 masters with flax at-use bf16 casts
+    mono = _mk_trainer(tmp_path / "a", cfg, low_mem_optimizer=True,
+                       fused_optimizer=True, accumulation_steps=2,
+                       bf16_grads=True, bf16_grad_accum=True,
+                       precast_params=False)
+    split = _mk_trainer(tmp_path / "b", cfg, low_mem_optimizer=True,
+                        fused_optimizer=True, accumulation_steps=2,
+                        bf16_grads=True, bf16_grad_accum=True,
+                        precast_params=False, split_accumulation=True)
+    assert split._split and not mono._split
+    it = synthetic_batch_iter(cfg, 4, 2, 16, 16)
+    batch = mono.shard_batch(next(it))
+    for _ in range(4):
+        lm = float(mono.train_step(batch)["loss"])
+        ls = float(split.train_step(batch)["loss"])
+        # different compiled graphs (scan vs straight-line) fuse the bf16
+        # forward differently -> ~1e-4 relative rounding even at step 1
+        np.testing.assert_allclose(ls, lm, rtol=5e-4)
+    a = jax.tree_util.tree_leaves(mono.params)
+    b = jax.tree_util.tree_leaves(split.params)
+    for x, y in zip(a, b):
+        # early Adam steps amplify bf16 grad rounding through 1/sqrt(nu)
+        # on near-zero second moments: rare single-element ~1e-3 outliers
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-3)
