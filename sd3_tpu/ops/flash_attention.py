@@ -286,6 +286,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Scoped-VMEM budget for one backward kernel instance. The hard limit is
+# 16 MiB; the estimator below under-counts Mosaic's actual allocation by
+# ~20% (measured: fp32 640x640 at n_pad=1280 estimates 14.9M, Mosaic
+# allocates 17.77M), so the budget leaves that margin.
+_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _dkv_vmem(bq: int, bk: int, n_pad: int, d_pad: int, itemsize: int) -> int:
+    """Estimate the dkv backward kernel's scoped-VMEM footprint (bytes).
+
+    The dkv kernel is the VMEM-heaviest of the three (it holds the FULL
+    q/do/lse/delta rows per grid step, double-buffered, plus five live
+    (bq, bk) fp32 score/probability intermediates). Calibrated anchors on
+    the real chip: fp32 (640,640) n_pad=1280 OOMs at 17.77M/16M; bf16
+    (640,640) compiles; fp32 (512,512) compiles; bf16 (640,1280) OOMs.
+    """
+    inputs = 2 * (2 * n_pad * d_pad * itemsize        # q, do: full rows
+                  + 2 * bk * d_pad * itemsize         # k, v: one block
+                  + 2 * n_pad * LSE_LANES * 4)        # lse, delta rows
+    outputs = 2 * 2 * bk * d_pad * itemsize           # dk, dv blocks
+    inter = (5 * bq * bk * 4                          # s/p/pt/dp/ds (fp32)
+             + 2 * bk * d_pad * 4                     # dk/dv accumulators
+             + 2 * bq * d_pad * itemsize)             # q/do loop slices
+    return inputs + outputs + inter
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
@@ -308,14 +334,36 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         if n_pad % cand == 0:
             bq = cand
     block_q = bq
-    # Short sequences: hold the full KV in one block (fast path in the
-    # kernel, minimal mask padding). Long sequences: stream block_k chunks.
-    if _round_up(m, 128) <= 2048:
-        block_k = _round_up(m, 128)
+    # Short/mid sequences: hold the full KV in one block (fast path in the
+    # kernel, minimal mask padding); long sequences stream block_k chunks.
+    m128 = _round_up(m, 128)
+    if m128 <= 2048:
+        block_k = m128
     else:
-        block_k = min(block_k, _round_up(m, 128))
-    m_pad = _round_up(m, block_k)
+        block_k = min(block_k, m128)
     d_pad = _round_up(d, 128)
+
+    # Cap the geometry by the BACKWARD's scoped-VMEM footprint (16 MiB hard
+    # limit): the dkv kernel holds full q/do rows plus five (bq, bk) fp32
+    # score buffers, so large blocks x fp32 inputs overflow — e.g. the 512px
+    # train shape (n=1178 -> 640x1280, and 640x640 in fp32) crashes the
+    # compile service with a VMEM stack OOM (scripts/flash512_probe.py,
+    # BASELINE.md). Shrink the larger block dimension until the estimate
+    # fits; block_q must stay a divisor of n_pad (output tiling), block_k is
+    # free-form (the wrapper pads KV up to a block multiple).
+    itemsize = jnp.dtype(q.dtype).itemsize
+    while _dkv_vmem(block_q, block_k, n_pad, d_pad, itemsize) > _VMEM_BUDGET:
+        if block_q >= block_k and block_q > 128:
+            block_q = max(c for c in range(128, block_q, 128)
+                          if n_pad % c == 0)
+        elif block_k > 128:
+            # prefer a divisor of the aligned KV length (no extra KV
+            # padding); fall back to stepping down one lane-tile
+            divs = [c for c in range(128, block_k, 128) if m128 % c == 0]
+            block_k = divs[-1] if divs else block_k - 128
+        else:
+            break  # 128x128 floor — always fits in practice
+    m_pad = _round_up(m, block_k)
 
     qp = jnp.pad(q.reshape(b * h, n, d), ((0, 0), (0, n_pad - n), (0, d_pad - d)))
     kp = jnp.pad(k.reshape(b * h, m, d), ((0, 0), (0, m_pad - m), (0, d_pad - d)))

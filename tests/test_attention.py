@@ -152,3 +152,34 @@ def test_flash_attention_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_flash_attention_512px_train_geometry():
+    """The 512px train shape (1178-token joint sequence) must pick a block
+    geometry whose BACKWARD fits the 16 MiB scoped-VMEM limit: the dkv
+    kernel holds full q/do rows plus five (bq, bk) fp32 score buffers, so
+    the old picker's 640x1280 (and, for fp32 inputs, even 640x640) dies in
+    the compile service with a VMEM stack OOM (scripts/flash512_probe.py).
+    The wrapper now budgets VMEM analytically per dtype. Forward+grad
+    correctness at the exact shape, default (wrapper-chosen) blocks."""
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(rng, 3)
+    n, d = 1178, 64
+    q = jax.random.normal(kq, (1, 1, n, d), jnp.float32)
+    k = jax.random.normal(kk, (1, 1, n, d), jnp.float32)
+    v = jax.random.normal(kv, (1, 1, n, d), jnp.float32)
+    scale = d ** -0.5
+    want = _xla_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, scale)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=5e-4)
