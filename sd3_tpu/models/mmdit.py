@@ -88,15 +88,19 @@ class DualStreamBlock(nn.Module):
         import os
         from sd3_tpu.ops.mlp import _fused_mlp_ok
         if (cfg.MLP_type in ("swiglu", "swiglu_old")
-                and os.environ.get("SD3_MLP_TAIL_FUSION")
+                and not os.environ.get("SD3_NO_MLP_TAIL")
                 and _fused_mlp_ok(cfg.quant, int(dim * cfg.hidden_scale),
                                   cfg.quant_skip)):
-            # OPT-IN experiment: the whole MLP half of the block — AdaLN,
-            # SwiGLU, gate, residual — as ONE Pallas kernel
-            # (ops/fused_mlp.py); AdaLNorm(None, y) supplies the shift/scale
-            # vectors from the identical param tree. Measured SLOWER than the
-            # default MLP-only fused kernel at 512px (2.48 vs 2.98 img/s —
-            # see ops/fused_mlp.py docstring), hence off by default.
+            # The whole MLP half of the block — AdaLN, SwiGLU, gate,
+            # residual — as ONE Pallas kernel (ops/fused_mlp.py);
+            # AdaLNorm(None, y) supplies the shift/scale vectors from the
+            # identical param tree. Streams whose token count can't be
+            # sample-aligned to a tile size (e.g. the 154-token text stream)
+            # transparently fall back to the XLA prologue/epilogue around
+            # the flattened MLP-only kernel inside fused_swiglu_int8.
+            # SD3_NO_MLP_TAIL=1 restores the unfused tail;
+            # SD3_MLP_TAIL_FUSION=3d selects the legacy per-sample-grid
+            # kernel (measured slower — see ops/fused_mlp.py).
             def mlp_tail(mlp_name, norm_name, gate_name, t):
                 sh, sc = norm(norm_name)(None, y)
                 g = gate(gate_name)(y)

@@ -50,6 +50,7 @@ Inference-only: no VJP (training always runs the float path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,22 +118,27 @@ def _kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
         out_ref[...] = (acc_ref[...] + b3_ref[...]).astype(out_ref.dtype)
 
 
-def _pick_block_chunk(m: int, hidden: int) -> tuple[int, int]:
+def _pick_block_chunk(m: int, hidden: int, k: int,
+                      d_out: int) -> tuple[int, int]:
     """Block sizes: the hidden-chunk must be a 128-multiple divisor of hidden
-    (mosaic lane rule); the m-block large enough to amortize weight streaming
-    (weights are re-read once per m-tile). m is PADDED up to a bm multiple —
-    a big bm with a little padded compute beats a small bm that divides m."""
-    bc = 128
-    for cand in (512, 256, 128):
-        if hidden % cand == 0:
-            bc = cand
-            break
-    # VMEM (bytes, rough): x bf16 bm*K*2 + xq bm*K + acc f32 bm*N*4 +
-    # temps 2*bm*bc*4 + double-buffered weight chunks — ~10MB at bm=512.
-    bm = 512
+    (mosaic lane rule); the m-block as large as VMEM allows to amortize
+    weight streaming (weights are re-read once per m-tile — at the 1.2B
+    512px shape the w12/w3 restream is ~280MB per block per forward at
+    bm=512, halved at bm=1024). m is PADDED up to a bm multiple — a big bm
+    with a little padded compute beats a small bm that divides m."""
     if m <= 256:
         bm = _round_up(max(m, 16), 16)
-    return bm, bc
+        for bc in (512, 256, 128):
+            if hidden % bc == 0:
+                return bm, bc
+        return bm, 128
+    cap = int(os.environ.get("SD3_FUSED_MLP_VMEM", str(13 * 2**20)))
+    chunks = [c for c in (512, 256, 128) if hidden % c == 0] or [128]
+    for bm in (1024, 512, 256):
+        for bc in chunks:
+            if _vmem_est(bm, bc, k, d_out) <= cap:
+                return bm, bc
+    return 256, chunks[-1]
 
 
 def _use_interpret() -> bool:
@@ -146,7 +152,7 @@ def _fused_swiglu_2d(x, w12_q, w12_scale, b12, w3_q, w3_scale, b3,
     two_h = w12_q.shape[1]
     hidden = two_h // 2
     d_out = w3_q.shape[1]
-    bm, bc = _pick_block_chunk(m, hidden)
+    bm, bc = _pick_block_chunk(m, hidden, k, d_out)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -183,6 +189,173 @@ def _fused_swiglu_2d(x, w12_q, w12_scale, b12, w3_q, w3_scale, b3,
     )(x, w12_q, w12_q, w12_scale, w12_scale, b12, b12,
       w3_q, row(w3_scale), row(b3))
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# sample-aligned flattened tail kernel: AdaLN prologue + gate/residual
+# epilogue on the SAME flattened 2-D grid as the fast default above.
+#
+# The per-sample-grid variant below this one regressed because it re-streamed
+# the int8 weights once per (sample, tile) and paid Mosaic layout overhead on
+# a size-1 leading block dim. This kernel avoids both: tokens stay flattened
+# (B*N, k) exactly like `_fused_swiglu_2d`, and the per-SAMPLE conditioning
+# vectors (AdaLN shift/scale, residual gate) are fetched by index-map
+# arithmetic — tile mi covers rows [mi*bm, (mi+1)*bm), all belonging to
+# sample(s) starting at (mi*bm)//n when bm divides N (one sample per tile,
+# block (1, k)) or when bm is a multiple of N (spt = bm//N whole samples per
+# tile, block (spt, k), broadcast per-sample inside the kernel). Either way
+# no token tile ever straddles a sample boundary mid-row-group misaligned
+# with its conditioning. Streams whose N fits neither case fall back to the
+# XLA prologue/epilogue around the plain 2-D kernel (identical math).
+# ---------------------------------------------------------------------------
+
+def _kernel_tail2d(x_ref, sh_ref, sc_ref, g_ref,
+                   w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
+                   w3_ref, s3_ref, b3_ref, out_ref,
+                   xq_ref, sx_ref, acc_ref, *, n_chunks, spt, n_tok,
+                   adaln, residual):
+    ci = pl.program_id(1)
+
+    def per_row(v_ref):
+        """(1, spt, d) per-tile conditioning block -> rows: (1, d) broadcasts
+        over the whole tile when spt == 1; otherwise expand each of the spt
+        per-sample vectors over its n_tok rows."""
+        v = v_ref[0].astype(jnp.float32)   # (spt, d)
+        if spt == 1:
+            return v  # (1, d) broadcasts against (bm, d)
+        d = v.shape[-1]
+        return jax.lax.broadcast_in_dim(
+            v[:, None, :], (spt, n_tok, d), (0, 1, 2)).reshape(spt * n_tok, d)
+
+    @pl.when(ci == 0)
+    def _init():
+        xf = x_ref[...].astype(jnp.float32)
+        if adaln:
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            xn = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+            xf = xn * (1.0 + per_row(sc_ref)) + per_row(sh_ref)
+        xq, sx = _quantize_rows(xf)
+        xq_ref[...] = xq
+        sx_ref[...] = sx
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[...]
+    sx = sx_ref[...]                                   # (bm, 1) f32
+    x1 = (_dot_i8(xq, w1_ref[...]).astype(jnp.float32)
+          * sx * s1_ref[...] + b1_ref[...])            # (bm, bc) f32
+    x2 = (_dot_i8(xq, w2_ref[...]).astype(jnp.float32)
+          * sx * s2_ref[...] + b2_ref[...])
+    hseg = jax.nn.silu(x1) * x2
+    hq, sh = _quantize_rows(hseg)
+    acc_ref[...] += (_dot_i8(hq, w3_ref[...]).astype(jnp.float32)
+                     * sh * s3_ref[...])
+
+    @pl.when(ci == n_chunks - 1)
+    def _flush():
+        y = acc_ref[...] + b3_ref[...]
+        if residual:
+            y = x_ref[...].astype(jnp.float32) + per_row(g_ref) * y
+        out_ref[...] = y.astype(out_ref.dtype)
+
+
+def _vmem_est(bm: int, bc: int, k: int, d_out: int) -> int:
+    """VMEM bytes for one grid step. Mosaic double-buffers EVERY windowed
+    operand — including the revisited x/out blocks — so those count twice
+    (measured: bm=1024/bc=128 at the 1216->4864 shape wants 17.2M scoped
+    VMEM against the 16M physical limit; this estimator gives 18.2M)."""
+    return (2 * bm * k * 2      # x bf16, double-buffered
+            + bm * k            # xq int8 scratch
+            + bm * d_out * 4    # f32 accumulator
+            + 2 * bm * d_out * 2  # out block, double-buffered
+            + 2 * bm * bc * 4   # x1/x2 chunk temps
+            + 2 * (2 * k * bc + bc * d_out))  # int8 weight chunks, 2 buffers
+
+
+def _pick_tail_blocks(m: int, n_tok: int, hidden: int, k: int,
+                      d_out: int) -> tuple[int, int] | None:
+    """Largest (bm, bc) with bm sample-aligned (bm | n_tok or n_tok | bm),
+    bm | m, and the VMEM estimate under budget. None if nothing fits."""
+    cap = int(os.environ.get("SD3_FUSED_MLP_VMEM", str(13 * 2**20)))
+    chunks = [c for c in (512, 256, 128) if hidden % c == 0] or [128]
+    for bm in (1024, 512, 256, 128):
+        if m % bm or (n_tok % bm and bm % n_tok):
+            continue
+        for bc in chunks:
+            if _vmem_est(bm, bc, k, d_out) <= cap:
+                return bm, bc
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_tok", "bm", "bc", "out_dtype",
+                                    "adaln", "residual"))
+def _fused_swiglu_tail2d(x, shift, scale, gate,
+                         w12_q, w12_scale, b12, w3_q, w3_scale, b3,
+                         n_tok, bm, bc,
+                         out_dtype=jnp.bfloat16, adaln=True, residual=True):
+    m, k = x.shape
+    hidden = w12_q.shape[1] // 2
+    d_out = w3_q.shape[1]
+    n_chunks = hidden // bc
+    cb = hidden // bc  # block-index offset of the second w12 half
+    spt = max(1, bm // n_tok)   # whole samples per tile (1 when bm <= n_tok)
+
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    b_batch = x.shape[0] // n_tok
+    if shift is None:
+        shift = jnp.zeros((b_batch, k), jnp.float32)
+        scale = jnp.zeros((b_batch, k), jnp.float32)
+    if gate is None:
+        gate = jnp.ones((b_batch, d_out), jnp.float32)
+
+    # Pre-gather per-TILE conditioning with static indices (sample of tile
+    # mi = mi*bm//n_tok — numpy, not traced): blocks become (1, spt, d) with
+    # a trivial (mi, 0, 0) index map, sidestepping both the Mosaic index-map
+    # division limits and the "last two block dims must equal the array's or
+    # be (8, 128)-divisible" rule (spt and d ARE the array dims). Tiny: the
+    # gathered copies are n_tiles*spt rows total.
+    import numpy as _np
+    n_tiles = m // bm
+    if spt == 1:
+        samp0 = _np.arange(n_tiles) * bm // n_tok
+        tile_cond = lambda a: a.astype(jnp.float32)[samp0][:, None, :]
+    else:  # whole samples per tile, contiguous: a plain reshape
+        tile_cond = lambda a: a.astype(jnp.float32).reshape(n_tiles, spt, -1)
+    cond_ix = lambda mi, ci: (mi, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_tail2d, n_chunks=n_chunks, spt=spt,
+                          n_tok=n_tok, adaln=adaln, residual=residual),
+        grid=(m // bm, n_chunks),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda mi, ci: (mi, 0)),          # x
+            pl.BlockSpec((1, spt, k), cond_ix),                     # shift
+            pl.BlockSpec((1, spt, k), cond_ix),                     # scale
+            pl.BlockSpec((1, spt, d_out), cond_ix),                 # gate
+            pl.BlockSpec((k, bc), lambda mi, ci: (0, ci)),          # w1 chunk
+            pl.BlockSpec((k, bc), lambda mi, ci, cb=cb: (0, ci + cb)),  # w2
+            pl.BlockSpec((1, bc), lambda mi, ci: (0, ci)),          # s1
+            pl.BlockSpec((1, bc), lambda mi, ci, cb=cb: (0, ci + cb)),  # s2
+            pl.BlockSpec((1, bc), lambda mi, ci: (0, ci)),          # b1
+            pl.BlockSpec((1, bc), lambda mi, ci, cb=cb: (0, ci + cb)),  # b2
+            pl.BlockSpec((bc, d_out), lambda mi, ci: (ci, 0)),      # w3 chunk
+            pl.BlockSpec((1, d_out), lambda mi, ci: (0, 0)),        # s3
+            pl.BlockSpec((1, d_out), lambda mi, ci: (0, 0)),        # b3
+        ],
+        out_specs=pl.BlockSpec((bm, d_out), lambda mi, ci: (mi, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d_out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),         # xq
+            pltpu.VMEM((bm, 1), jnp.float32),      # s_act
+            pltpu.VMEM((bm, d_out), jnp.float32),  # accumulator
+        ],
+        interpret=_use_interpret(),
+        # w12/scales/bias appear twice (x1/x2 halves, chunk maps offset by cb)
+    )(x, tile_cond(shift), tile_cond(scale), tile_cond(gate), w12_q, w12_q,
+      row(w12_scale), row(w12_scale), row(b12), row(b12),
+      w3_q, row(w3_scale), row(b3))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -338,9 +511,44 @@ def fused_swiglu_int8(x: jax.Array, w12_q, w12_scale, b12,
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
-    out = _fused_swiglu_3d(x, shift, scale, gate,
-                           w12_q, w12_scale, b12, w3_q, w3_scale, b3,
-                           out_dtype=x.dtype,
-                           adaln=shift is not None,
-                           residual=residual)
-    return out[0] if squeeze else out
+
+    if os.environ.get("SD3_MLP_TAIL_FUSION") == "3d":
+        # legacy per-sample-grid kernel (measured slower; kept testable)
+        out = _fused_swiglu_3d(x, shift, scale, gate,
+                               w12_q, w12_scale, b12, w3_q, w3_scale, b3,
+                               out_dtype=x.dtype,
+                               adaln=shift is not None,
+                               residual=residual)
+        return out[0] if squeeze else out
+
+    b, n, k = x.shape
+    hidden = w12_q.shape[1] // 2
+    d_out = w3_q.shape[1]
+    blocks = _pick_tail_blocks(b * n, n, hidden, k, d_out)
+    if blocks is not None:
+        bm, bc = blocks
+        out = _fused_swiglu_tail2d(
+            x.reshape(b * n, k), shift, scale, gate,
+            w12_q, w12_scale, b12, w3_q, w3_scale, b3,
+            n_tok=n, bm=bm, bc=bc, out_dtype=x.dtype,
+            adaln=shift is not None, residual=residual,
+        ).reshape(b, n, d_out)
+        return out[0] if squeeze else out
+
+    # stream shape not sample-alignable (e.g. N=154 text tokens): XLA
+    # prologue/epilogue around the fast flattened kernel — identical math.
+    xn = x
+    if shift is not None:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+        xn = (ln * (1.0 + scale[:, None, :].astype(jnp.float32))
+              + shift[:, None, :].astype(jnp.float32)).astype(x.dtype)
+    y = fused_swiglu_int8(xn, w12_q, w12_scale, b12, w3_q, w3_scale, b3)
+    if gate is not None:
+        y = (y.astype(jnp.float32)
+             * gate[:, None, :].astype(jnp.float32)).astype(x.dtype)
+    if residual:
+        y = x + y
+    return y[0] if squeeze else y

@@ -242,10 +242,49 @@ def test_fused_swiglu_block_tail():
     assert rel < 2.5e-2, rel
 
 
-def test_block_tail_model_path_env_optin(monkeypatch):
-    """SD3_MLP_TAIL_FUSION=1 routes the whole DualStreamBlock MLP half
-    through the block-tail kernel (mmdit.py mlp_tail) and matches the
-    default fused path closely (same weights, same conditioning)."""
+def test_tail2d_sample_alignment():
+    """The flattened sample-aligned tail kernel must fetch the RIGHT
+    per-sample conditioning for every token tile — both the one-sample-per-
+    tile (bm <= N) and several-samples-per-tile (bm = spt*N) layouts. Uses
+    strongly distinct per-sample shift/gate so a wrong sample index is a
+    large error, not noise."""
+    from sd3_tpu.ops.fused_mlp import fused_swiglu_int8, _pick_tail_blocks
+    from sd3_tpu.ops.norms import layer_norm
+
+    rng = np.random.default_rng(13)
+    d, hidden = 64, 128
+    for b, n in [(2, 128), (1, 1024), (3, 256), (1, 2048)]:
+        assert _pick_tail_blocks(b * n, n, hidden, d, d) is not None, (b, n)
+        x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+        sh = jnp.asarray(np.arange(b)[:, None] * 2.0
+                         + rng.normal(size=(b, d)) * 0.1, jnp.float32)
+        sc = jnp.asarray(rng.normal(size=(b, d)) * 0.1, jnp.float32)
+        g = jnp.asarray((np.arange(b)[:, None] - 1.0)
+                        + rng.normal(size=(b, d)) * 0.5, jnp.float32)
+        w12 = jnp.asarray(rng.normal(size=(d, 2 * hidden)) * 0.08, jnp.float32)
+        b12 = jnp.asarray(rng.normal(size=(2 * hidden,)) * 0.01, jnp.float32)
+        w3 = jnp.asarray(rng.normal(size=(hidden, d)) * 0.08, jnp.float32)
+        b3 = jnp.asarray(rng.normal(size=(d,)) * 0.01, jnp.float32)
+
+        xn = layer_norm(x) * (1 + sc[:, None, :]) + sh[:, None, :]
+        x12 = xn @ w12 + b12
+        h = jax.nn.silu(x12[..., :hidden]) * x12[..., hidden:]
+        ref = x + g[:, None, :] * (h @ w3 + b3)
+
+        k12, s12 = quantize_weight(w12)
+        k3, s3 = quantize_weight(w3)
+        got = fused_swiglu_int8(x, k12, s12, b12, k3, s3, b3,
+                                shift=sh, scale=sc, gate=g, residual=True)
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert got.shape == ref.shape
+        assert rel < 2.5e-2, (b, n, rel)
+
+
+def test_block_tail_model_path(monkeypatch):
+    """The DualStreamBlock MLP half routes through the block-tail kernel by
+    DEFAULT under quant='int8'; SD3_NO_MLP_TAIL=1 restores the unfused tail
+    and SD3_MLP_TAIL_FUSION=3d the legacy per-sample kernel — all three must
+    agree closely (same weights, same conditioning)."""
     cfg = tiny_config(MLP_type="swiglu", attn_type="softmax",
                       dim=32, hidden_scale=4.0)  # hidden = 128
     _, params = init_mmdit(cfg, jax.random.PRNGKey(0))
@@ -260,10 +299,13 @@ def test_block_tail_model_path_env_optin(monkeypatch):
                     jnp.float32)
     cp = jnp.asarray(rng.normal(size=(b, cfg.class_dim)), jnp.float32)
 
-    default = qmodel.apply({"params": qparams}, x, t, c, cp)
-    monkeypatch.setenv("SD3_MLP_TAIL_FUSION", "1")
-    tail = qmodel.apply({"params": qparams}, x, t, c, cp)
-    rel = float(jnp.linalg.norm(tail - default)
-                / jnp.linalg.norm(default))
-    # both are int8 paths differing only in h-scale granularity/fusion order
-    assert rel < 5e-2, rel
+    tail = qmodel.apply({"params": qparams}, x, t, c, cp)   # default: fused tail
+    monkeypatch.setenv("SD3_MLP_TAIL_FUSION", "3d")
+    legacy = qmodel.apply({"params": qparams}, x, t, c, cp)
+    monkeypatch.delenv("SD3_MLP_TAIL_FUSION")
+    monkeypatch.setenv("SD3_NO_MLP_TAIL", "1")
+    unfused = qmodel.apply({"params": qparams}, x, t, c, cp)
+    for name, other in [("legacy3d", legacy), ("unfused", unfused)]:
+        rel = float(jnp.linalg.norm(tail - other) / jnp.linalg.norm(other))
+        # int8 paths differing only in h-scale granularity/fusion order
+        assert rel < 5e-2, (name, rel)
