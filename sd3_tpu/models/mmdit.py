@@ -29,6 +29,7 @@ torch.utils.checkpoint flags (Transformer_Block_Dual.py:60-76).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -76,16 +77,37 @@ class DualStreamBlock(nn.Module):
             dtype=dtype, quant=cfg.quant, quant_skip=cfg.quant_skip,
             use_fused=self.fused_attn, name="attn")
 
-        x_a, c_a = attn(norm("norm1_x")(x, y), norm("norm1_c")(c, y), hw)
-        x = x_a * gate("scale1_x")(y)[:, None, :] + x
-        if not self.last:
-            c = c_a * gate("scale1_c")(y)[:, None, :] + c
+        if (cfg.quant == "int8"
+                and os.environ.get("SD3_ATTN_TAIL", "none") != "none"):
+            # OPT-IN (measured dead end, default off): attention-half tail
+            # fusion — JointAttention owns the AdaLN prologue and
+            # gate+residual epilogue so the Pallas kernels
+            # (ops/fused_dense.py) can fold them into the int8 q/k/v and out
+            # projections. AdaLNorm(None, y) supplies shift/scale from the
+            # identical param tree; math is unchanged on every fallback path.
+            # 512px int8 bench: all=2.88, out-only=2.96 vs 3.11 img/s unfused
+            # — XLA already fuses these elementwise chains into the int8
+            # matmul prologue/epilogue without paying Pallas tile overheads
+            # (unlike the MLP half, where SwiGLU's intermediate makes the
+            # fused kernel win; see ops/fused_dense.py docstring).
+            sh_x, sc_x = norm("norm1_x")(None, y)
+            sh_c, sc_c = norm("norm1_c")(None, y)
+            tail = dict(
+                shift_x=sh_x, scale_x=sc_x, shift_c=sh_c, scale_c=sc_c,
+                gate_x=gate("scale1_x")(y),
+                gate_c=None if self.last else gate("scale1_c")(y),
+                res_x=x, res_c=c)
+            x, c = attn(x, c, hw, tail=tail)
+        else:
+            x_a, c_a = attn(norm("norm1_x")(x, y), norm("norm1_c")(c, y), hw)
+            x = x_a * gate("scale1_x")(y)[:, None, :] + x
+            if not self.last:
+                c = c_a * gate("scale1_c")(y)[:, None, :] + c
 
         mlp = lambda name: MLP(dim, cfg.hidden_scale, act=cfg.MLP_type,
                                dtype=dtype, quant=cfg.quant,
                                quant_skip=cfg.quant_skip, name=name)
 
-        import os
         from sd3_tpu.ops.mlp import _fused_mlp_ok
         if (cfg.MLP_type in ("swiglu", "swiglu_old")
                 and not os.environ.get("SD3_NO_MLP_TAIL")

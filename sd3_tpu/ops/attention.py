@@ -22,16 +22,38 @@ Backends: `softmax` runs as plain XLA einsum attention (logits fp32 on MXU);
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from sd3_tpu.ops.norms import RMSNorm
+from sd3_tpu.ops.norms import RMSNorm, layer_norm
 from sd3_tpu.ops import rope as rope_lib
 from sd3_tpu.ops.flash_attention import flash_attention
 from sd3_tpu.ops.fused_attention import fused_dual_flash_attention
-from sd3_tpu.ops.quant import dense as quant_dense
+from sd3_tpu.ops.quant import (Int8Dense, dense as quant_dense,
+                               int8_dense_apply)
+
+
+def _adaln(t, shift, scale):
+    """AdaLN from precomputed per-sample vectors (ops/norms.py::AdaLNorm
+    math): LayerNorm(t) * (1 + scale) + shift."""
+    dt = t.dtype
+    y = layer_norm(t).astype(jnp.float32)
+    return (y * (1.0 + scale[:, None, :].astype(jnp.float32))
+            + shift[:, None, :].astype(jnp.float32)).astype(dt)
+
+
+def _gate_res(o, gate, res):
+    """Per-sample gate + residual epilogue (None gate/res skipped)."""
+    if gate is not None:
+        o = (o.astype(jnp.float32)
+             * gate[:, None, :].astype(jnp.float32)).astype(o.dtype)
+    if res is not None:
+        o = res + o.astype(res.dtype)
+    return o
 
 SOFTMAX_TYPES = ("softmax", "softmax_flash")
 
@@ -206,17 +228,75 @@ class JointAttention(nn.Module):
                 n_img, hd)
         return None  # absolute / NoPE
 
-    def _fused_call(self, x, c, hw, scale, hd):
+    def _int8_ok(self, names) -> bool:
+        return (self.quant == "int8"
+                and not any(nm in self.quant_skip for nm in names))
+
+    def _raw_int8(self, name):
+        """(kernel_q, kernel_scale) of an Int8Dense without applying it —
+        identical param tree to the `_dense` path (ops/quant.py)."""
+        kq, ks, _ = Int8Dense(features=self.dim, use_bias=False, name=name,
+                              dtype=self.dtype, in_features=self.dim,
+                              parent=self)(None)
+        return kq, ks
+
+    def _fused_call(self, x, c, hw, scale, hd, tail=None):
         """Fused path: raw projections go straight to the Pallas kernel,
         which applies q/k RMSNorm + image-only RoPE in VMEM
-        (ops/fused_attention.py). Same param tree as the unfused path."""
+        (ops/fused_attention.py). Same param tree as the unfused path.
+
+        With `tail`, this path additionally folds the block's AdaLN prologue
+        into the image-stream q/k/v projections and the gate+residual
+        epilogue into the out projections (ops/fused_dense.py kernels) —
+        x/c arrive RAW and leave fully updated. Streams or configs the
+        kernels can't take (text tokens unalignable, quant_skip'd
+        projections) use the same math in XLA ops."""
+        from sd3_tpu.ops.fused_dense import (fused_out_gate_residual_int8,
+                                             fused_qkv_adaln_int8)
         n, m = x.shape[1], c.shape[1]
-        q = jnp.concatenate([self._dense(self.dim, "query_proj_x")(x),
-                             self._dense(self.dim, "query_proj_c")(c)], axis=1)
-        k = jnp.concatenate([self._dense(self.dim, "key_proj_x")(x),
-                             self._dense(self.dim, "key_proj_c")(c)], axis=1)
-        v = jnp.concatenate([self._dense(self.dim, "value_proj_x")(x),
-                             self._dense(self.dim, "value_proj_c")(c)], axis=1)
+
+        if tail is None:
+            xn, cn = x, c
+            qkv_x = None
+        else:
+            mode = os.environ.get("SD3_ATTN_TAIL", "all")  # all|qkv|out
+            # (only reached when the block opted in — see models/mmdit.py;
+            # "all" here covers tail-dict callers outside the block path)
+            xn = None  # computed lazily only if the kernel path declines
+            cn = _adaln(c, tail["shift_c"], tail["scale_c"])
+            qkv_x = None
+            if (mode in ("all", "qkv") and
+                    self._int8_ok(("query_proj_x", "key_proj_x",
+                                   "value_proj_x"))):
+                # Create the raw int8 params ONCE (flax module names are
+                # single-use); the kernel-declined fallback reuses them via
+                # int8_dense_apply — identical math, no duplicate submodule.
+                wq, sq = self._raw_int8("query_proj_x")
+                wk, sk = self._raw_int8("key_proj_x")
+                wv, sv = self._raw_int8("value_proj_x")
+                qkv_x = fused_qkv_adaln_int8(
+                    x.astype(self.dtype), tail["shift_x"], tail["scale_x"],
+                    wq, sq, wk, sk, wv, sv)
+                if qkv_x is None:
+                    xn = _adaln(x, tail["shift_x"], tail["scale_x"])
+                    qkv_x = tuple(
+                        int8_dense_apply(xn, w, s, None, self.dtype)
+                        for w, s in ((wq, sq), (wk, sk), (wv, sv)))
+            else:
+                xn = _adaln(x, tail["shift_x"], tail["scale_x"])
+
+        if qkv_x is not None:
+            q_x, k_x, v_x = qkv_x
+        else:
+            q_x = self._dense(self.dim, "query_proj_x")(xn)
+            k_x = self._dense(self.dim, "key_proj_x")(xn)
+            v_x = self._dense(self.dim, "value_proj_x")(xn)
+        q = jnp.concatenate([q_x, self._dense(self.dim, "query_proj_c")(cn)],
+                            axis=1)
+        k = jnp.concatenate([k_x, self._dense(self.dim, "key_proj_c")(cn)],
+                            axis=1)
+        v = jnp.concatenate([v_x, self._dense(self.dim, "value_proj_c")(cn)],
+                            axis=1)
         w_q_img = RMSNorm(hd, name="q_norm_x", param_dtype=self.param_dtype)()
         w_k_img = RMSNorm(hd, name="k_norm_x", param_dtype=self.param_dtype)()
         w_q_txt = RMSNorm(hd, name="q_norm_c", param_dtype=self.param_dtype)()
@@ -226,19 +306,48 @@ class JointAttention(nn.Module):
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
             self.num_heads, w_q_img, w_q_txt, w_k_img, w_k_txt,
             angles, n, scale)
-        out_x = self._dense(self.dim, "out_proj_x")(out[:, :n])
-        out_c = out[:, n:]
-        if not self.last:
-            out_c = self._dense(self.dim, "out_proj_c")(out_c)
-        return out_x, out_c
+
+        if tail is None:
+            out_x = self._dense(self.dim, "out_proj_x")(out[:, :n])
+            out_c = out[:, n:]
+            if not self.last:
+                out_c = self._dense(self.dim, "out_proj_c")(out_c)
+            return out_x, out_c
+
+        # epilogue: x' = res + gate * out_proj(attn)
+        def out_proj_tail(a, name, gate_v, res_v):
+            if mode in ("all", "out") and self._int8_ok((name,)):
+                w, s = self._raw_int8(name)
+                o = fused_out_gate_residual_int8(a, gate_v, res_v, w, s)
+                if o is None:  # kernel declined: same params, XLA math
+                    o = _gate_res(int8_dense_apply(a, w, s, None, self.dtype),
+                                  gate_v, res_v)
+                return o
+            return _gate_res(self._dense(self.dim, name)(a), gate_v, res_v)
+
+        out_x = out_proj_tail(out[:, :n], "out_proj_x",
+                              tail["gate_x"], tail["res_x"])
+        if self.last:
+            return out_x, tail["res_c"]
+        return out_x, out_proj_tail(out[:, n:], "out_proj_c",
+                                    tail["gate_c"], tail["res_c"])
 
     @nn.compact
-    def __call__(self, x, c=None, hw: tuple[int, int] | None = None):
+    def __call__(self, x, c=None, hw: tuple[int, int] | None = None,
+                 tail=None):
         """x: (B, N, dim) image tokens; c: (B, M, dim) text tokens (dual).
 
         hw: token-grid (height, width) with h*w == N — required for 2-D RoPE.
         Returns (x_out, c_out) when dual (c_out un-projected if last), else x_out.
-        """
+
+        tail: optional dict {shift_x, scale_x, shift_c, scale_c (B, dim),
+        gate_x, gate_c (B, dim) | None, res_x, res_c (B, N/M, dim)} — the
+        block's AdaLN prologue and gate+residual epilogue, OWNED by this
+        module so the Pallas kernels (ops/fused_dense.py) can fold them into
+        the int8 projections; every non-kernel path applies the identical
+        math in XLA. With tail, x/c arrive RAW (pre-AdaLN) and the returned
+        streams are fully updated (post-residual); when `last`, c returns as
+        res_c unchanged (the reference drops the text path there)."""
         attn_type = self._resolved_attn_type()
         softmax = attn_type in SOFTMAX_TYPES
         b, n, _ = x.shape
@@ -255,7 +364,13 @@ class JointAttention(nn.Module):
             return t.transpose(0, 2, 1, 3).reshape(b, t.shape[2], -1)
 
         if self._fused_path_ok(attn_type, hd_qk):
-            return self._fused_call(x, c, hw, scale, hd_qk)
+            return self._fused_call(x, c, hw, scale, hd_qk, tail)
+
+        if tail is not None:
+            # general path: prologue in XLA; epilogue applied on the way out
+            x = _adaln(x, tail["shift_x"], tail["scale_x"])
+            if self.dual:
+                c = _adaln(c, tail["shift_c"], tail["scale_c"])
 
         if self.dual:
             assert c is not None
@@ -316,6 +431,12 @@ class JointAttention(nn.Module):
         if self.dual:
             attn_x, attn_c = attn[:, :, :n], attn[:, :, n:]
             out_x = self._dense(self.dim, "out_proj_x")(unheads(attn_x))
+            if tail is not None:
+                out_x = _gate_res(out_x, tail["gate_x"], tail["res_x"])
+                if self.last:
+                    return out_x, tail["res_c"]
+                out_c = self._dense(self.dim, "out_proj_c")(unheads(attn_c))
+                return out_x, _gate_res(out_c, tail["gate_c"], tail["res_c"])
             out_c = unheads(attn_c)
             if not self.last:
                 out_c = self._dense(self.dim, "out_proj_c")(out_c)

@@ -309,3 +309,83 @@ def test_block_tail_model_path(monkeypatch):
         rel = float(jnp.linalg.norm(tail - other) / jnp.linalg.norm(other))
         # int8 paths differing only in h-scale granularity/fusion order
         assert rel < 5e-2, (name, rel)
+
+
+def test_fused_qkv_adaln_kernel():
+    """ops/fused_dense.py qkv+AdaLN kernel vs the float composition, with
+    strongly distinct per-sample shift/scale (wrong tile->sample mapping
+    would be a large error)."""
+    from sd3_tpu.ops.fused_dense import fused_qkv_adaln_int8
+    from sd3_tpu.ops.norms import layer_norm
+
+    rng = np.random.default_rng(17)
+    d = 64
+    for b, n in [(2, 128), (1, 1024), (3, 256)]:
+        x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+        sh = jnp.asarray(np.arange(b)[:, None] * 2.0
+                         + rng.normal(size=(b, d)) * 0.1, jnp.float32)
+        sc = jnp.asarray(rng.normal(size=(b, d)) * 0.1, jnp.float32)
+        ws = [jnp.asarray(rng.normal(size=(d, d)) * 0.08, jnp.float32)
+              for _ in range(3)]
+        xn = layer_norm(x) * (1 + sc[:, None, :]) + sh[:, None, :]
+        refs = [xn @ w for w in ws]
+
+        qs = [quantize_weight(w) for w in ws]
+        got = fused_qkv_adaln_int8(x, sh, sc, qs[0][0], qs[0][1],
+                                   qs[1][0], qs[1][1], qs[2][0], qs[2][1])
+        assert got is not None, (b, n)
+        for g, r in zip(got, refs):
+            rel = float(jnp.linalg.norm(g - r) / jnp.linalg.norm(r))
+            assert g.shape == r.shape
+            assert rel < 2.5e-2, (b, n, rel)
+
+
+def test_fused_out_gate_residual_kernel():
+    """ops/fused_dense.py out-projection epilogue kernel vs the float
+    composition res + gate * (a @ w)."""
+    from sd3_tpu.ops.fused_dense import fused_out_gate_residual_int8
+
+    rng = np.random.default_rng(19)
+    d = 64
+    for b, n in [(2, 128), (1, 1024)]:
+        a = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+        res = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+        g = jnp.asarray((np.arange(b)[:, None] - 1.0)
+                        + rng.normal(size=(b, d)) * 0.5, jnp.float32)
+        w = jnp.asarray(rng.normal(size=(d, d)) * 0.08, jnp.float32)
+        ref = res + g[:, None, :] * (a @ w)
+        wq, ws = quantize_weight(w)
+        got = fused_out_gate_residual_int8(a, g, res, wq, ws)
+        assert got is not None
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert got.shape == ref.shape
+        assert rel < 2.5e-2, (b, n, rel)
+
+
+def test_attn_tail_model_path(monkeypatch):
+    """SD3_ATTN_TAIL=all (opt-in — measured slower end-to-end, default off;
+    see ops/fused_dense.py) routes the DualStreamBlock attention half through
+    the tail-owned path (Pallas kernels on the fused flash path, XLA math
+    elsewhere); the default is the unfused block composition — outputs must
+    agree closely for both attention backends."""
+    for attn in ("softmax", "softmax_flash"):
+        cfg = tiny_config(MLP_type="swiglu", attn_type=attn,
+                          dim=32, hidden_scale=4.0)
+        _, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+        qmodel = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+        qparams = quantize_params(params)
+
+        rng = np.random.default_rng(5)
+        b = 2
+        x = jnp.asarray(rng.normal(size=(b, cfg.inCh, 16, 16)), jnp.float32)
+        t = jnp.asarray(rng.uniform(size=(b,)), jnp.float32)
+        c = jnp.asarray(rng.normal(size=(b, cfg.text_tokens,
+                                         cfg.text_hidden_dim)), jnp.float32)
+        cp = jnp.asarray(rng.normal(size=(b, cfg.class_dim)), jnp.float32)
+
+        monkeypatch.setenv("SD3_ATTN_TAIL", "all")
+        tail = qmodel.apply({"params": qparams}, x, t, c, cp)
+        monkeypatch.delenv("SD3_ATTN_TAIL")
+        plain = qmodel.apply({"params": qparams}, x, t, c, cp)
+        rel = float(jnp.linalg.norm(tail - plain) / jnp.linalg.norm(plain))
+        assert rel < 5e-2, (attn, rel)
