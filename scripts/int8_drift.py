@@ -38,6 +38,17 @@ def get_cfg():
                           "dtype": "bfloat16"})
 
 
+def _latest_saved_step(ckpt_dir: str) -> int:
+    import re
+    best = 0
+    if os.path.isdir(ckpt_dir):
+        for f in os.listdir(ckpt_dir):
+            m = re.fullmatch(r"model_(\d+)s\.msgpack", f)
+            if m:
+                best = max(best, int(m.group(1)))
+    return best
+
+
 def train(args, ckpt_dir: str) -> None:
     from sd3_tpu.data.pipeline import synthetic_batch_iter
     from sd3_tpu.training.trainer import Trainer, TrainConfig
@@ -46,10 +57,21 @@ def train(args, ckpt_dir: str) -> None:
     tcfg = TrainConfig(batch_size=args.batch, accumulation_steps=1,
                        total_steps=args.steps, warmup_steps=200,
                        lr=3e-4, ema_update_freq=10**9, track_ema=False,
-                       log_steps=200, num_save_steps=10**9,
+                       log_steps=100, num_save_steps=500,
                        low_mem_optimizer=True, bf16_grads=True,
                        save_dir=ckpt_dir)
     trainer = Trainer(cfg, tcfg, use_wandb=False, log_dir=ckpt_dir)
+    # resume from the latest periodic save (this run competes for a single
+    # CPU core with test suites — it has died mid-run before; losing 3000
+    # steps of single-chip training to a crash is an hour of rework)
+    resume = _latest_saved_step(ckpt_dir)
+    if resume:
+        from sd3_tpu.training import checkpoint as ck
+        print(f"resuming from step {resume}", file=sys.stderr)
+        trainer.params = ck.load_artifact(
+            ckpt_dir, f"model_{resume}s.msgpack", trainer.params)
+        trainer.restore_optimizer(ckpt_dir, resume)
+        trainer.step = resume
     it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
     trainer.train(it)
     trainer.save()
