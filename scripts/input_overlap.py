@@ -56,7 +56,8 @@ def run(args, prefetch: int) -> float:
     it = encoded_batch_iter(cfg, tcfg, args.parquet_dir, stub=True,
                             num_threads=args.threads, seed=1)
     if prefetch:
-        it = prefetch_iterator(it, depth=prefetch)
+        it = prefetch_iterator(it, depth=prefetch,
+                               map_fn=trainer.shard_batch)
     # warm up: compile train step + encoder programs
     m = trainer.train_step(trainer.shard_batch(next(it)))
     float(np.asarray(m["loss"]))

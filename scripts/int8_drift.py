@@ -49,8 +49,48 @@ def _latest_saved_step(ckpt_dir: str) -> int:
     return best
 
 
+def device_synthetic_pool(cfg, batch: int, res: int, pool: int = 64,
+                          seed: int = 0):
+    """Synthetic batches generated ON the device, cycled.
+
+    The axon device tunnel uploads at ~20 MB/s; host-side synthetic batches
+    (46 MB at b32: text (32,154,2304) f32 dominates) throttle training to
+    >2 s/step on transfers alone. Generating the pool with jax.random on-chip
+    is free, and the trainer does not donate batch args, so cycling
+    device-resident batches is safe. pool*batch distinct samples (~2k at the
+    defaults) is plenty for a quantization-drift proxy.
+    """
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    lat = res // 8
+
+    @jax.jit
+    def make(key):
+        kx, kt, kp = jax.random.split(key, 3)
+        return {
+            "x0": jax.random.normal(
+                kx, (1, batch, cfg.inCh, lat, lat), jnp.float32),
+            "text": jax.random.normal(
+                kt, (1, batch, cfg.text_tokens, cfg.text_hidden_dim),
+                jnp.float32),
+            "pooled": jax.random.normal(
+                kp, (1, batch, cfg.class_dim), jnp.float32),
+        }
+
+    # keys built host-side: iterating a device array fetches per element
+    # through the ~20 MB/s tunnel (and has been seen to wedge outright)
+    rng = np.random.default_rng(seed)
+    batches = [make(jax.random.PRNGKey(int(s)))
+               for s in rng.integers(0, 2**31 - 1, size=pool)]
+    jax.block_until_ready(batches[-1])
+    print(f"device pool ready: {pool} batches", file=sys.stderr)
+    return itertools.cycle(batches)
+
+
 def train(args, ckpt_dir: str) -> None:
-    from sd3_tpu.data.pipeline import synthetic_batch_iter
     from sd3_tpu.training.trainer import Trainer, TrainConfig
 
     cfg = get_cfg()
@@ -72,7 +112,7 @@ def train(args, ckpt_dir: str) -> None:
             ckpt_dir, f"model_{resume}s.msgpack", trainer.params)
         trainer.restore_optimizer(ckpt_dir, resume)
         trainer.step = resume
-    it = synthetic_batch_iter(cfg, args.batch, 1, args.res, args.res)
+    it = device_synthetic_pool(cfg, args.batch, args.res)
     trainer.train(it)
     trainer.save()
 

@@ -115,7 +115,8 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
                    "pooled": np.stack(pooleds)}
 
 
-def prefetch_iterator(it: Iterator, depth: int = 1) -> Iterator:
+def prefetch_iterator(it: Iterator, depth: int = 1,
+                      map_fn=None) -> Iterator:
     """Run `it` one (or `depth`) item(s) ahead in a background thread.
 
     The reference hides its preprocessing behind dedicated loader GPUs
@@ -124,6 +125,11 @@ def prefetch_iterator(it: Iterator, depth: int = 1) -> Iterator:
     DISPATCHES the jitted encodes for group N+1 (jax dispatch is async, so
     the encoder programs queue behind the train step without blocking it).
     Exceptions propagate to the consumer; StopIteration ends the stream.
+
+    `map_fn` (e.g. ``Trainer.shard_batch``) runs inside the worker thread so
+    the host→HBM transfer of group N+1 also overlaps step N instead of
+    sitting on the trainer's critical path (shard_batch is idempotent, so
+    the trainer resharding the already-placed batch is a no-op).
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
@@ -134,7 +140,7 @@ def prefetch_iterator(it: Iterator, depth: int = 1) -> Iterator:
             for item in it:
                 if stop.is_set():
                     return
-                q.put(item)
+                q.put(item if map_fn is None else map_fn(item))
             q.put(DONE)
         except BaseException as e:  # surfaced on the consumer side
             q.put(e)

@@ -219,9 +219,11 @@ def main(argv=None):
                                 shard_count=n_proc)
         if args.prefetch_batches > 0:
             from sd3_tpu.data.encoded import prefetch_iterator
-            # double-buffer: decode + encoder dispatch for group N+1 overlap
-            # step N (the reference's loader-GPU overlap, SURVEY §2.4/§7e)
-            it = prefetch_iterator(it, depth=args.prefetch_batches)
+            # double-buffer: decode + encoder dispatch + host->HBM placement
+            # for group N+1 overlap step N (the reference's loader-GPU
+            # overlap, SURVEY §2.4/§7e)
+            it = prefetch_iterator(it, depth=args.prefetch_batches,
+                                   map_fn=trainer.shard_batch)
 
     final_step = trainer.train(it)
     trainer.save()

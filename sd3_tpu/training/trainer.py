@@ -558,6 +558,13 @@ class Trainer:
             if np.ndim(v) >= 2:
                 spec[1] = ("dp", "fsdp")
             sh = NamedSharding(self.mesh, P(*spec))
+            # idempotent: a batch already placed (e.g. by the prefetch
+            # thread via map_fn=shard_batch) passes through untouched —
+            # re-assembling a global array from one would be wrong under
+            # multi-host and a pointless copy under single-process
+            if isinstance(v, jax.Array) and v.sharding == sh:
+                out[k] = v
+                continue
             if multi:
                 out[k] = jax.make_array_from_process_local_data(
                     sh, np.asarray(v))

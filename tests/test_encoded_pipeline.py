@@ -208,3 +208,50 @@ def test_prefetch_iterator_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_prefetch_iterator_map_fn_runs_in_worker():
+    from sd3_tpu.data.encoded import prefetch_iterator
+    import threading
+
+    seen_threads = []
+
+    def tag(x):
+        seen_threads.append(threading.current_thread())
+        return x * 10
+
+    out = list(prefetch_iterator(iter(range(5)), depth=2, map_fn=tag))
+    assert out == [0, 10, 20, 30, 40]
+    assert all(t is not threading.main_thread() for t in seen_threads)
+
+    def boom(_):
+        raise ValueError("map failed")
+
+    it = prefetch_iterator(iter(range(3)), depth=1, map_fn=boom)
+    with pytest.raises(ValueError, match="map failed"):
+        next(it)
+
+
+def test_shard_batch_idempotent(tmp_path):
+    # Placing an already-placed batch must be a pass-through: the prefetch
+    # thread calls shard_batch via map_fn before Trainer.train does, and
+    # under multi-host a second make_array_from_process_local_data on a
+    # global array would be wrong (not just wasteful).
+    from sd3_tpu.config import tiny_config
+    from sd3_tpu.training.trainer import Trainer, TrainConfig
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, accumulation_steps=1, total_steps=1,
+                       num_save_steps=10**9, save_dir=str(tmp_path))
+    tr = Trainer(cfg, tcfg, use_wandb=False, log_dir=str(tmp_path))
+    lat = cfg.max_res // 8
+    batch = {
+        "x0": np.zeros((1, 2, cfg.inCh, lat, lat), np.float32),
+        "text": np.zeros((1, 2, cfg.text_tokens, cfg.text_hidden_dim),
+                         np.float32),
+        "pooled": np.zeros((1, 2, cfg.class_dim), np.float32),
+    }
+    placed = tr.shard_batch(batch)
+    again = tr.shard_batch(placed)
+    for k in batch:
+        assert again[k] is placed[k]
