@@ -153,3 +153,56 @@ def test_golden_kv_merge_qk_half(golden):
                                atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(latents, fx["latents_exp"],
                                atol=5e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fixtures generated from the LITERAL reference (scripts/gen_golden_ref.py):
+# the reference's own sample_imgs loop (diff_model.py:367-480), imported
+# verbatim via tests/ref_oracle/shims.py — removes the self-written-oracle
+# circularity at the golden scale. The reference internally casts attention
+# to bf16 (Attention.py:277-285), so the gate here is the bf16 envelope;
+# the bit-tight fp32 gates above (vs golden_mid.npz) remain the tight gate.
+# ---------------------------------------------------------------------------
+
+FIXTURE_REF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fixtures", "golden_ref.npz")
+
+
+@pytest.fixture(scope="module")
+def golden_ref():
+    fx = np.load(FIXTURE_REF)
+    tm = build_model()
+    params = import_torch_state_dict(tm.state_dict())
+    del tm
+    _, text, pooled = build_inputs()
+    return fx, params, text.numpy(), pooled.numpy()
+
+
+@pytest.mark.parametrize("attn", ["softmax", "softmax_flash"])
+def test_reference_golden_euler(golden_ref, attn):
+    fx, params, text, pooled = golden_ref
+    cfg = tiny_config(**{**GOLD, "attn_type": attn})
+    model = MMDiT(cfg, remat_blocks=False)
+    v_first, latents = _sample_jax(model, params, fx["init_noise"],
+                                   text, pooled, "euler")
+    dv = np.max(np.abs(v_first - fx["v_first"]))
+    dl = np.max(np.abs(latents - fx["latents"]))
+    print(f"[ref-golden {attn}] |dv|max={dv:.2e} |dlat|max={dl:.2e} "
+          f"(scale {np.abs(fx['latents']).max():.2f})")
+    # envelope: the reference's internal bf16 attention rounding across 14
+    # blocks and 4 euler steps (values of scale ~8)
+    np.testing.assert_allclose(v_first, fx["v_first"], atol=6e-2, rtol=0)
+    np.testing.assert_allclose(latents, fx["latents"], atol=6e-2, rtol=0)
+
+
+@pytest.mark.parametrize("sampler,key", [("heun", "latents_heun"),
+                                         ("euler_stochastic",
+                                          "latents_stochastic")])
+def test_reference_golden_sampler_matrix(golden_ref, sampler, key):
+    fx, params, text, pooled = golden_ref
+    cfg = tiny_config(**{**GOLD, "attn_type": "softmax_flash"})
+    model = MMDiT(cfg, remat_blocks=False)
+    step_noise = (fx["step_noise"] if sampler == "euler_stochastic" else None)
+    _, latents = _sample_jax(model, params, fx["init_noise"], text, pooled,
+                             sampler, step_noise=step_noise)
+    np.testing.assert_allclose(latents, fx[key], atol=6e-2, rtol=0)

@@ -150,8 +150,16 @@ class RoPE2DV2Torch(nn.Module):
 class DualAttention(nn.Module):
     def __init__(self, dim, num_heads, attn_type, positional_encoding,
                  rope_scale=1.0, kv_merge_attn=False, qk_half_dim=False,
-                 layer_idx=0, last=False, rope2d_interpolate=False):
+                 layer_idx=0, last=False, rope2d_interpolate=False,
+                 attn_bf16=False):
         super().__init__()
+        # The reference's "softmax" path casts q/k/v to bfloat16 INSIDE the
+        # attention (Attention.py:277-285) even with fp32 weights — so the
+        # reference is never truly fp32. attn_bf16=True reproduces that cast
+        # so tests/test_ref_oracle.py can show this oracle is EXACTLY the
+        # reference modulo nothing; default False keeps the fp32
+        # idealization the golden fixtures are built from.
+        self.attn_bf16 = attn_bf16
         if attn_type == "both":
             attn_type = "softmax" if layer_idx % 2 == 0 else "cosine"
         self.attn_type = attn_type
@@ -237,7 +245,12 @@ class DualAttention(nn.Module):
 
         at = self.attn_type
         if at in ("softmax", "softmax_flash"):
-            attn = ((q @ k.mT) * self.scale).softmax(dim=-1) @ v
+            if self.attn_bf16:
+                qb, kb, vb = (t.to(torch.bfloat16) for t in (q, k, v))
+                attn = (((qb @ kb.mT) * self.scale).softmax(dim=-1)
+                        @ vb).to(q.dtype)
+            else:
+                attn = ((q @ k.mT) * self.scale).softmax(dim=-1) @ v
         elif at == "cosine":
             vn = v / (v.shape[2] ** self.norm_const.sigmoid())
             attn = q @ (k.mT @ vn)
@@ -280,7 +293,7 @@ class DualAttention(nn.Module):
 class DualBlock(nn.Module):
     def __init__(self, dim, hidden_scale, num_heads, attn_type, mlp_type,
                  positional_encoding, rope_scale, kv_merge_attn, qk_half_dim,
-                 layer_idx, last, rope2d_interpolate=False):
+                 layer_idx, last, rope2d_interpolate=False, attn_bf16=False):
         super().__init__()
         self.last = last
         self.y_proj = nn.Sequential(nn.Linear(dim, dim), nn.SiLU())
@@ -290,7 +303,7 @@ class DualBlock(nn.Module):
         self.attn = DualAttention(dim, num_heads, attn_type,
                                   positional_encoding, rope_scale,
                                   kv_merge_attn, qk_half_dim, layer_idx, last,
-                                  rope2d_interpolate)
+                                  rope2d_interpolate, attn_bf16)
         self.norm1_x = AdaLN(dim, dim)
         self.norm2_x = AdaLN(dim, dim)
         self.norm1_c = AdaLN(dim, dim)
@@ -350,7 +363,8 @@ class MiniMMDiT(nn.Module):
                  positional_encoding="RoPE2d", max_res_orig=16, max_res=16,
                  kv_merge_attn=False, qk_half_dim=False, text_loss=False,
                  text_tokens_per_encoder=7, text_hidden_dim=24,
-                 rope2d_interpolate=False, pos_embed_max_size=256):
+                 rope2d_interpolate=False, pos_embed_max_size=256,
+                 attn_bf16=False):
         super().__init__()
         self.inCh = inCh
         self.patch_size = patch_size
@@ -362,7 +376,8 @@ class MiniMMDiT(nn.Module):
                       positional_encoding, rope_scale, kv_merge_attn,
                       qk_half_dim, i,
                       last=(i == num_blocks - 1 and not text_loss),
-                      rope2d_interpolate=rope2d_interpolate)
+                      rope2d_interpolate=rope2d_interpolate,
+                      attn_bf16=attn_bf16)
             for i in range(num_blocks)
         ])
         self.t_emb = TimeEmb(dim)
