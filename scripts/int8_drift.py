@@ -49,7 +49,7 @@ def _latest_saved_step(ckpt_dir: str) -> int:
     return best
 
 
-def device_synthetic_pool(cfg, batch: int, res: int, pool: int = 64,
+def device_synthetic_pool(cfg, trainer, batch: int, res: int, pool: int = 32,
                           seed: int = 0):
     """Synthetic batches generated ON the device, cycled.
 
@@ -57,17 +57,24 @@ def device_synthetic_pool(cfg, batch: int, res: int, pool: int = 64,
     (46 MB at b32: text (32,154,2304) f32 dominates) throttle training to
     >2 s/step on transfers alone. Generating the pool with jax.random on-chip
     is free, and the trainer does not donate batch args, so cycling
-    device-resident batches is safe. pool*batch distinct samples (~2k at the
+    device-resident batches is safe. pool*batch distinct samples (~1k at the
     defaults) is plenty for a quantization-drift proxy.
+
+    The text leaf (the footprint) is generated in bfloat16 — the model casts
+    to bf16 at its input anyway — and every leaf is placed with the trainer's
+    own batch sharding (out_shardings) so Trainer.shard_batch's idempotent
+    pass-through applies instead of a per-step reshard copy (ADVICE r3).
     """
     import itertools
+    from functools import partial
 
     import jax
     import jax.numpy as jnp
 
     lat = res // 8
+    sh5, sh4, sh3 = (trainer.batch_sharding(n) for n in (5, 4, 3))
 
-    @jax.jit
+    @partial(jax.jit, out_shardings={"x0": sh5, "text": sh4, "pooled": sh3})
     def make(key):
         kx, kt, kp = jax.random.split(key, 3)
         return {
@@ -75,7 +82,7 @@ def device_synthetic_pool(cfg, batch: int, res: int, pool: int = 64,
                 kx, (1, batch, cfg.inCh, lat, lat), jnp.float32),
             "text": jax.random.normal(
                 kt, (1, batch, cfg.text_tokens, cfg.text_hidden_dim),
-                jnp.float32),
+                jnp.bfloat16),
             "pooled": jax.random.normal(
                 kp, (1, batch, cfg.class_dim), jnp.float32),
         }
@@ -112,7 +119,7 @@ def train(args, ckpt_dir: str) -> None:
             ckpt_dir, f"model_{resume}s.msgpack", trainer.params)
         trainer.restore_optimizer(ckpt_dir, resume)
         trainer.step = resume
-    it = device_synthetic_pool(cfg, args.batch, args.res)
+    it = device_synthetic_pool(cfg, trainer, args.batch, args.res)
     trainer.train(it)
     trainer.save()
 

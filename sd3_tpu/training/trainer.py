@@ -549,28 +549,42 @@ class Trainer:
         `make_array_from_process_local_data` — the JAX-native replacement for
         the reference's per-rank loader feeds (model_trainer.py:353-362).
         """
-        from jax.sharding import NamedSharding, PartitionSpec as P
         multi = jax.process_count() > 1
         out = {}
         for k, v in batch.items():
-            # micro-step axis first: shard axis 1 (the batch axis)
-            spec = [None] * np.ndim(v)
-            if np.ndim(v) >= 2:
-                spec[1] = ("dp", "fsdp")
-            sh = NamedSharding(self.mesh, P(*spec))
+            sh = self.batch_sharding(np.ndim(v))
             # idempotent: a batch already placed (e.g. by the prefetch
-            # thread via map_fn=shard_batch) passes through untouched —
+            # thread via map_fn=shard_batch, or a device-resident pool built
+            # with out_shardings=batch_sharding) passes through untouched —
             # re-assembling a global array from one would be wrong under
             # multi-host and a pointless copy under single-process
             if isinstance(v, jax.Array) and v.sharding == sh:
                 out[k] = v
                 continue
             if multi:
+                if isinstance(v, jax.Array) and not v.is_fully_addressable:
+                    raise ValueError(
+                        f"batch[{k!r}] is a jax.Array with sharding "
+                        f"{v.sharding}, not this trainer's batch sharding "
+                        f"{sh}, and is not fully addressable — it cannot be "
+                        "re-assembled host-side. Pre-placed batches must "
+                        "already carry Trainer.batch_sharding(ndim).")
                 out[k] = jax.make_array_from_process_local_data(
                     sh, np.asarray(v))
             else:
                 out[k] = jax.device_put(v, sh)
         return out
+
+    def batch_sharding(self, ndim: int):
+        """The NamedSharding shard_batch places batch leaves with: axis 0 is
+        the micro-step axis, axis 1 (the batch axis) sharded over dp×fsdp.
+        Exposed so producers (prefetch threads, on-device synthetic pools)
+        can build batches that hit shard_batch's pass-through."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * ndim
+        if ndim >= 2:
+            spec[1] = ("dp", "fsdp")
+        return NamedSharding(self.mesh, P(*spec))
 
     def train_step(self, batch: dict) -> dict:
         self.rng, key = jax.random.split(self.rng)
