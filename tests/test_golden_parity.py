@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import pytest
 import torch
 
+pytestmark = pytest.mark.golden  # 256M-param fixtures: on-TPU tier only
+
 from sd3_tpu.config import tiny_config
 from sd3_tpu.models.mmdit import MMDiT
 from sd3_tpu.training.checkpoint import import_torch_state_dict
