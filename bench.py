@@ -70,8 +70,10 @@ def bench_sampling(args):
         from sd3_tpu.ops.quant import quantize_params
         # keep the quantized tree ON DEVICE — a device_get here would make
         # every sampler call re-upload the weights through the axon tunnel
-        params = quantize_params(params)
-        model = MMDiT(cfg.replace(quant="int8"), remat_blocks=False)
+        skip = tuple(args.quant_skip)
+        params = quantize_params(params, quant_skip=skip)
+        model = MMDiT(cfg.replace(quant="int8", quant_skip=skip),
+                      remat_blocks=False)
         log("quantized projection/MLP kernels to int8 (w8a8 dynamic)")
     if args.cast_params and args.dtype == "bfloat16":
         # inference-only: bf16 weights halve HBM weight traffic and skip the
@@ -209,6 +211,9 @@ def main():
     # forward on random weights; FID validation against real weights is
     # wired in evals/ and pending a weights mount (BASELINE.md).
     p.add_argument("--quant", default="int8", choices=["none", "int8"])
+    p.add_argument("--quant_skip", nargs="*", default=[],
+                   help="per-layer-group float fallbacks under --quant int8 "
+                        "(e.g. attn_qk w12; see MMDiTConfig.quant_skip)")
     p.add_argument("--cast_params", action="store_true", default=True)
     p.add_argument("--no_cast_params", dest="cast_params",
                    action="store_false")

@@ -67,7 +67,38 @@ def run(args, prefetch: int) -> float:
     float(np.asarray(m["loss"]))
     dt = (time.time() - t0) / args.steps
     print(f"prefetch={prefetch}: {dt*1e3:.1f} ms/step", file=sys.stderr)
-    return dt
+    if prefetch:
+        # the split below would double-shard already-mapped batches
+        return dt, None
+
+    # Diagnostic split (serial, fenced): where does the step go?
+    #   host    = next(it)          (decode + batch assembly, pure host CPU)
+    #   upload  = shard_batch(b)    (host->device through the ~20 MB/s axon
+    #                                tunnel — an environment artifact; real
+    #                                TPU hosts DMA at GB/s)
+    #   compute = the fenced train step (+~35 ms tunnel RTT when fenced)
+    # Only `host` is the bubble a prefetch thread could hide on real
+    # hardware; here `upload` dominates and serializes with dispatch on the
+    # same tunnel, which is why prefetch can't win in this environment.
+    t_host = t_up = t_run = 0.0
+    k = max(4, args.steps // 3)
+    for _ in range(k):
+        a = time.time()
+        raw = next(it)
+        t_host += time.time() - a
+        a = time.time()
+        b = trainer.shard_batch(raw)
+        jax.block_until_ready(b)
+        t_up += time.time() - a
+        a = time.time()
+        m = trainer.train_step(b)
+        float(np.asarray(m["loss"]))
+        t_run += time.time() - a
+    print(f"  split: host {t_host/k*1e3:.0f} ms  upload {t_up/k*1e3:.0f} ms"
+          f"  compute {t_run/k*1e3:.0f} ms (serial-fenced)", file=sys.stderr)
+    return dt, {"host_ms": round(t_host / k * 1e3, 1),
+                "upload_ms": round(t_up / k * 1e3, 1),
+                "compute_ms": round(t_run / k * 1e3, 1)}
 
 
 def main():
@@ -83,13 +114,21 @@ def main():
     pq_path = os.path.join(args.parquet_dir, "part0.parquet")
     if not os.path.exists(pq_path):
         make_parquet(pq_path, args.rows, args.res)
-    t_no = run(args, prefetch=0)
-    t_yes = run(args, prefetch=1)
+    t_no, split = run(args, prefetch=0)
+    t_yes, _ = run(args, prefetch=1)
     overlap = 1.0 - t_yes / t_no
     import json
-    print(json.dumps({"step_no_prefetch_ms": round(t_no * 1e3, 1),
-                      "step_prefetch_ms": round(t_yes * 1e3, 1),
-                      "input_bubble_hidden_pct": round(overlap * 100, 1)}))
+    rep = {"step_no_prefetch_ms": round(t_no * 1e3, 1),
+           "step_prefetch_ms": round(t_yes * 1e3, 1),
+           "input_bubble_hidden_pct": round(overlap * 100, 1)}
+    if split:
+        rep.update(split)
+        # what prefetch WOULD hide on hardware where upload is ~free (DMA):
+        # the host part, bounded by the compute time it can hide behind
+        hideable = min(split["host_ms"], split["compute_ms"])
+        rep["host_bubble_hideable_pct"] = round(
+            100.0 * hideable / max(split["host_ms"], 1e-9), 1)
+    print(json.dumps(rep))
 
 
 if __name__ == "__main__":

@@ -183,14 +183,18 @@ def main():
         sum(x.size for x in jax.tree_util.tree_leaves(params)) / 1e6, 1),
         "natural_variation_rel": round(natural, 4), "variants": {}}
 
+    # "attn_qk" gates the int8 QK^T score path (ops/fused_attention.py,
+    # round 4); it is skipped in the legacy variants so their numbers stay
+    # comparable with the round-4 table in BASELINE.md.
     variants = {
-        "int8_full": (),
-        "int8_skip_w12": ("w12",),
-        "int8_skip_w3": ("w3",),
-        "int8_attn_only": ("w12", "w3", "lin_up", "lin_down"),
-        "int8_mlp_only": ("query_proj_x", "key_proj_x", "value_proj_x",
-                          "out_proj_x", "query_proj_c", "key_proj_c",
-                          "value_proj_c", "out_proj_c"),
+        "int8_full_attn_qk": (),   # round-4 headline: w8a8 + int8 scores
+        "int8_full": ("attn_qk",),
+        "int8_skip_w12": ("attn_qk", "w12"),
+        "int8_skip_w3": ("attn_qk", "w3"),
+        "int8_attn_only": ("attn_qk", "w12", "w3", "lin_up", "lin_down"),
+        "int8_mlp_only": ("attn_qk", "query_proj_x", "key_proj_x",
+                          "value_proj_x", "out_proj_x", "query_proj_c",
+                          "key_proj_c", "value_proj_c", "out_proj_c"),
     }
     for name, skip in variants.items():
         qcfg = cfg.replace(quant="int8", quant_skip=skip)

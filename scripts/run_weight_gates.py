@@ -16,7 +16,10 @@ exist, and writes a machine-readable report:
                                   fp32 latents for cross-checking against the
                                   reference implementation when available —
                                   reference diff_model.py:431-460 sampling)
-  6. FID drift, bf16 vs int8     (evals/generate_images.py + calculate_fid —
+  6. reference-as-oracle         (tests/test_ref_oracle.py — the literal
+                                  /root/reference code run on CPU via the
+                                  xformers shim; weight-free ground truth)
+  7. FID drift, bf16 vs int8     (evals/generate_images.py + calculate_fid —
                                   the int8 serving-quality gate)
 
 Usage:
@@ -121,6 +124,8 @@ def main(argv=None):
             env, depends=["tiny_train_ckpt"])
         run_stage(report, "bit_match_hermetic", [
             py, "-m", "pytest", "tests/test_golden_parity.py", "-q"], env)
+        run_stage(report, "reference_oracle", [
+            py, "-m", "pytest", "tests/test_ref_oracle.py", "-q"], env)
         run_stage(report, "fid_smoke", [
             py, "-m", "pytest", "tests/test_eval_cli.py", "-q"], env)
     else:
@@ -167,6 +172,10 @@ def main(argv=None):
                 env, depends=["torch_import"])
             # 5. fp32 euler bit-match: hermetic goldens + export our fp32
             # latents for comparison against the reference run
+            # the literal /root/reference code as CPU ground truth (no
+            # weights needed — validates oracle + importer + sampler logic)
+            run_stage(report, "reference_oracle", [
+                py, "-m", "pytest", "tests/test_ref_oracle.py", "-q"], env)
             run_stage(report, "bit_match_hermetic", [
                 py, "-m", "pytest", "tests/test_golden_parity.py", "-q"], env)
             run_stage(report, "export_fp32_latents", [

@@ -302,10 +302,15 @@ class JointAttention(nn.Module):
         w_q_txt = RMSNorm(hd, name="q_norm_c", param_dtype=self.param_dtype)()
         w_k_txt = RMSNorm(hd, name="k_norm_c", param_dtype=self.param_dtype)()
         angles = self._fused_angles(n, hd, hw)
+        # int8 QK^T: at head_dim 64 the bf16 score contraction half-fills
+        # the MXU's 128-deep passes; the s8xs8 path's 2x issue rate restores
+        # full rate (ops/fused_attention.py). Rides the serving quant flag;
+        # opt out per-layer with quant_skip=("attn_qk",). Drift-validated on
+        # trained weights (scripts/int8_drift.py, BASELINE.md).
         out = fused_dual_flash_attention(
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
             self.num_heads, w_q_img, w_q_txt, w_k_img, w_k_txt,
-            angles, n, scale)
+            angles, n, scale, int8_qk=self._int8_ok(("attn_qk",)))
 
         if tail is None:
             out_x = self._dense(self.dim, "out_proj_x")(out[:, :n])

@@ -35,6 +35,7 @@ without a hand-written fused backward kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,8 @@ from sd3_tpu.ops.flash_attention import (_cdiv, _round_up, _dot, _kv_mask,
                                          _use_interpret, flash_attention,
                                          DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
                                          NEG_INF)
+
+LOG2E = 1.4426950408889634  # log2(e): the kernel's softmax runs in exp2
 
 
 def _pack_factor(head_dim: int) -> int:
@@ -92,13 +95,55 @@ def _prep(x_raw, cos, sin, eps, p, hd, interpret):
     return xn * c + _rot_half_lanes(xn, interpret) * s
 
 
+def _q8_rows(x, p, hd):
+    """Per-row, per-packed-sub-head symmetric int8 quantization of a
+    (rows, p*hd) fp32 tile. Returns (int8 tile, [(rows, 1) f32 scale per
+    sub-head])."""
+    parts_q, scales = [], []
+    for t in range(p):
+        s = x[:, t * hd:(t + 1) * hd]
+        amax = jnp.max(jnp.abs(s), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        parts_q.append(jnp.clip(jnp.round(s / scale), -127, 127))
+        scales.append(scale)
+    return jnp.concatenate(parts_q, axis=-1).astype(jnp.int8), scales
+
+
+def _dot_i8(a, b, trans_b=False):
+    """s8 x s8 -> s32 on the MXU (same lowering notes as ops/quant.py:81)."""
+    dims = (((1,), (1,)), ((), ())) if trans_b else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+
+
 def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                      o_ref, kprep_ref, *, scale, block_k, kv_len, p, hd,
-                      eps_q, eps_k, interpret):
+                      o_ref, *scratch, block_k, kv_len, p, hd,
+                      eps_q, eps_k, interpret, int8_qk):
+    # The softmax scale AND log2(e) are folded into the q-side tables by the
+    # wrapper (cq/sq *= scale*log2e), so s arrives pre-scaled in the exp2
+    # domain: softmax(z) == exp2(z') / sum(exp2(z')) with z' = z*log2e. This
+    # removes one full (bq, bk) VPU multiply per k-block per sub-head (the
+    # `s * scale`) and exp2 is the VPU's native transcendental (exp lowers to
+    # exp2 + a multiply). All max/sum/ratio algebra is scale-consistent.
+    #
+    # int8_qk: the QK^T contraction runs s8xs8->s32 on the MXU — at the
+    # published head_dim 64 the bf16 contraction half-fills the 128-deep
+    # systolic passes, while the int8 path's 2x issue rate restores full
+    # rate. q is quantized per row per sub-head; K per sub-head (whole-K
+    # amax, computed once in the prep phase). Dequant rides the existing
+    # (s - m) subtract as an fma. Inference-only (the VJP recomputes through
+    # the fp composition), quality-gated by scripts/int8_drift.py.
+    if int8_qk:
+        kprep_ref, kq_ref, kscale_ref = scratch
+    else:
+        (kprep_ref,) = scratch
     bq = q_ref.shape[1]
     dt = q_ref.dtype
-    qh = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd,
-               interpret).astype(dt)
+    qh_f = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd, interpret)
+    if int8_qk:
+        qi, qscales = _q8_rows(qh_f, p, hd)
+    else:
+        qh = qh_f.astype(dt)
     m_len = k_ref.shape[1]
     num_kb = m_len // block_k
 
@@ -118,20 +163,48 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
             kprep_ref[rows, :] = _prep(
                 k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
                 eps_k, p, hd, interpret).astype(dt)
+        if int8_qk:
+            # per-sub-head whole-K scale, then quantize from the stored
+            # bf16 prep (second pass; chunked like the first)
+            for t in range(p):
+                sl = slice(t * hd, (t + 1) * hd)
+                amax = jnp.float32(0)
+                for j0 in range(m_len // chunk):
+                    rows = pl.ds(j0 * chunk, chunk)
+                    amax = jnp.maximum(amax, jnp.max(jnp.abs(
+                        kprep_ref[rows, sl].astype(jnp.float32))))
+                kscale_ref[t] = jnp.maximum(amax, 1e-12) / 127.0
+            for j0 in range(m_len // chunk):
+                rows = pl.ds(j0 * chunk, chunk)
+                kf = kprep_ref[rows, :].astype(jnp.float32)
+                qparts = []
+                for t in range(p):
+                    sl = slice(t * hd, (t + 1) * hd)
+                    qparts.append(jnp.clip(
+                        jnp.round(kf[:, sl] / kscale_ref[t]), -127, 127))
+                kq_ref[rows, :] = jnp.concatenate(
+                    qparts, axis=-1).astype(jnp.int8)
+
+    def scores(t, rows_k, bk):
+        """(bq, bk) fp32 pre-softmax scores for sub-head t (exp2 domain)."""
+        sl = slice(t * hd, (t + 1) * hd)
+        if int8_qk:
+            s32 = _dot_i8(qi[:, sl], kq_ref[rows_k, sl], trans_b=True)
+            return s32.astype(jnp.float32) * (qscales[t] * kscale_ref[t])
+        return _dot(qh[:, sl], kprep_ref[rows_k, sl], trans_b=True)
 
     if num_kb == 1:
         # single-KV-block fast path: plain softmax, no online rescaling
-        kh = kprep_ref[...]
         v = v_ref[0]
         mask = _kv_mask(0, block_k, kv_len, bq)
         outs = []
         for t in range(p):
             sl = slice(t * hd, (t + 1) * hd)
-            s = _dot(qh[:, sl], kh[:, sl], trans_b=True) * scale
+            s = scores(t, slice(None), block_k)
             if mask is not None:
                 s = s + mask
             m = jnp.max(s, axis=-1, keepdims=True)
-            pb = jnp.exp(s - m)
+            pb = jnp.exp2(s - m)
             l = jnp.sum(pb, axis=-1, keepdims=True)
             outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dt)
@@ -142,17 +215,16 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     accs = [jnp.zeros((bq, hd), jnp.float32) for _ in range(p)]
     for j in range(num_kb):
         rows = pl.ds(j * block_k, block_k)
-        kh = kprep_ref[rows, :]
         v = v_ref[0, rows, :]
         mask = _kv_mask(j, block_k, kv_len, bq)
         for t in range(p):
             sl = slice(t * hd, (t + 1) * hd)
-            s = _dot(qh[:, sl], kh[:, sl], trans_b=True) * scale
+            s = scores(t, rows, block_k)
             if mask is not None:
                 s = s + mask
             m_new = jnp.maximum(ms[t], jnp.max(s, axis=-1, keepdims=True))
-            pb = jnp.exp(s - m_new)
-            alpha = jnp.exp(ms[t] - m_new)
+            pb = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(ms[t] - m_new)
             ls[t] = ls[t] * alpha + jnp.sum(pb, axis=-1, keepdims=True)
             accs[t] = accs[t] * alpha + _dot(pb.astype(dt), v[:, sl])
             ms[t] = m_new
@@ -162,7 +234,7 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
 
 def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
                   num_heads, block_q_cap=DEFAULT_BLOCK_Q,
-                  single_kv_max=2048):
+                  single_kv_max=2048, int8_qk=False):
     """q,k,v: (B, N, H*D) raw projections; tables: (N, D). Joint self-attn."""
     b, n, f = q.shape
     d = f // num_heads
@@ -191,7 +263,17 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     if _round_up(n, 128) <= single_kv_max:
         block_k = _round_up(n, 128)
     else:
-        block_k = min(DEFAULT_BLOCK_K, _round_up(n, 128))
+        # Streaming case (>2048 tokens, i.e. the 1024px stage). Tunables:
+        #   SD3_FLASH_BK:    k-block rows (default measured-best 512)
+        #   SD3_FLASH_BQPAD: force this q block, padding n up to a multiple
+        #                    (e.g. 640 pads 4352->4480, +2.9% rows, in
+        #                    exchange for 640-row MXU passes; default off)
+        block_k = min(int(os.environ.get("SD3_FLASH_BK", DEFAULT_BLOCK_K)),
+                      _round_up(n, 128))
+        bqpad = int(os.environ.get("SD3_FLASH_BQPAD", "0"))
+        if bqpad:
+            bq = bqpad
+            n_pad = _round_up(n, bqpad)
     m_pad = _round_up(n, block_k)
 
     qp = jnp.pad(qp, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -203,13 +285,22 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
         t = jnp.tile(t.astype(tdt), (1, p))
         return jnp.pad(t, ((0, rows - n), (0, 0)))
 
-    cq, sq = tiles(cosq, n_pad), tiles(sinq, n_pad)
+    # Fold softmax scale + log2(e) into the q-side tables (kernel runs in
+    # the exp2 domain — see _fused_fwd_kernel). Folded AFTER the tdt cast so
+    # a bf16 runtime still applies the fold at fp32 table precision.
+    fold = jnp.asarray(scale * LOG2E, jnp.float32)
+    cq, sq = tiles(cosq, n_pad) * fold, tiles(sinq, n_pad) * fold
     ck, sk = tiles(cosk, m_pad), tiles(sink, m_pad)
+    cq, sq = cq.astype(tdt), sq.astype(tdt)
 
     interpret = _use_interpret()
     kernel = functools.partial(
-        _fused_fwd_kernel, scale=scale, block_k=block_k, kv_len=n, p=p, hd=d,
-        eps_q=eps_q, eps_k=eps_k, interpret=interpret)
+        _fused_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
+        eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk)
+    scratch = [pltpu.VMEM((m_pad, P), q.dtype)]
+    if int8_qk:
+        scratch += [pltpu.VMEM((m_pad, P), jnp.int8),
+                    pltpu.SMEM((p,), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(b * g, n_pad // bq),
@@ -224,7 +315,7 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
         ],
         out_specs=pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * g, n_pad, P), q.dtype),
-        scratch_shapes=[pltpu.VMEM((m_pad, P), q.dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qp, kp, vp, cq, sq, ck, sk)
 
@@ -258,21 +349,21 @@ def _composition(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     return o.transpose(0, 2, 1, 3).reshape(b, n, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _fused_core(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
-                num_heads):
+                num_heads, int8_qk=False):
     return _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q,
-                         eps_k, num_heads)
+                         eps_k, num_heads, int8_qk=int8_qk)
 
 
 def _fused_core_fwd(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
-                    num_heads):
+                    num_heads, int8_qk=False):
     out = _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q,
-                        eps_k, num_heads)
+                        eps_k, num_heads, int8_qk=int8_qk)
     return out, (q, k, v, cosq, sinq, cosk, sink)
 
 
-def _fused_core_bwd(scale, eps_q, eps_k, num_heads, res, g):
+def _fused_core_bwd(scale, eps_q, eps_k, num_heads, int8_qk, res, g):
     q, k, v, cosq, sinq, cosk, sink = res
     f = functools.partial(_composition, scale=scale, eps_q=eps_q,
                           eps_k=eps_k, num_heads=num_heads)
@@ -303,7 +394,8 @@ def _swap_pairs(w):
 def fused_dual_flash_attention(q, k, v, num_heads: int,
                                w_q_img, w_q_txt, w_k_img, w_k_txt,
                                angles_img, n_img: int, scale: float,
-                               use_pallas: bool = True):
+                               use_pallas: bool = True,
+                               int8_qk: bool = False):
     """Joint-sequence attention with fused per-head RMSNorm + image-only RoPE.
 
     q, k, v: (B, N, num_heads*D) raw projection outputs; rows [0, n_img) are
@@ -333,4 +425,4 @@ def fused_dual_flash_attention(q, k, v, num_heads: int,
         return _composition(q, k, v, cosq, sinq, cosk, sink, scale,
                             eps_q, eps_k, num_heads)
     return _fused_core(q, k, v, cosq, sinq, cosk, sink, float(scale),
-                       eps_q, eps_k, num_heads)
+                       eps_q, eps_k, num_heads, int8_qk)

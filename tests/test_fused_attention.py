@@ -120,3 +120,51 @@ def test_fused_streaming_kv_blocks():
     want = _composition(*args)
     got = _pallas_fused(*args, block_q_cap=128, single_kv_max=128)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_fused_int8_qk_close_to_float(streaming):
+    """int8 QK^T (per-row q scales, per-sub-head K scales) tracks the float
+    kernel to quantization error on both KV paths."""
+    nh, d, h, w, n_txt = 2, 16, 10, 16, 40   # n = 200
+    q, k, v, (wqi, wqt, wki, wkt), angles, n_img, scale = _case(
+        nh, d, h, w, n_txt, seed=5)
+    cos_np, sin_np = rope_row_tables(angles, q.shape[1], d)
+    row_img = (np.arange(q.shape[1]) < n_img)[:, None]
+    w_q = jnp.where(row_img, wqi[None], wqt[None]).astype(jnp.float32)
+    w_k = jnp.where(row_img, wki[None], wkt[None]).astype(jnp.float32)
+    args = (q, k, v, cos_np * w_q, sin_np * _swap_pairs(w_q),
+            cos_np * w_k, sin_np * _swap_pairs(w_k), scale,
+            float(jnp.finfo(jnp.float32).eps),
+            float(jnp.finfo(jnp.float32).eps), nh)
+    kw = dict(block_q_cap=128, single_kv_max=(128 if streaming else 2048))
+    want = _pallas_fused(*args, **kw)
+    got = _pallas_fused(*args, **kw, int8_qk=True)
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 0.02, f"int8 qk relative error {err:.4f}"
+
+
+@pytest.mark.parametrize("bk,bqpad", [
+    ("128", "0"),      # smaller k-blocks than default
+    ("128", "192"),    # padded-q geometry: n=200 -> n_pad 384, bq 192
+    ("512", "256"),    # bk clamps to the 256-row aligned KV; bq pads exactly
+])
+def test_fused_streaming_geometry_knobs(monkeypatch, bk, bqpad):
+    """SD3_FLASH_BK / SD3_FLASH_BQPAD reshape the streaming-path blocking
+    without changing results (the 1024px tuning surface)."""
+    monkeypatch.setenv("SD3_FLASH_BK", bk)
+    monkeypatch.setenv("SD3_FLASH_BQPAD", bqpad)
+    nh, d, h, w, n_txt = 2, 16, 10, 16, 40   # n = 200
+    q, k, v, (wqi, wqt, wki, wkt), angles, n_img, scale = _case(
+        nh, d, h, w, n_txt, seed=4)
+    cos_np, sin_np = rope_row_tables(angles, q.shape[1], d)
+    row_img = (np.arange(q.shape[1]) < n_img)[:, None]
+    w_q = jnp.where(row_img, wqi[None], wqt[None]).astype(jnp.float32)
+    w_k = jnp.where(row_img, wki[None], wkt[None]).astype(jnp.float32)
+    args = (q, k, v, cos_np * w_q, sin_np * _swap_pairs(w_q),
+            cos_np * w_k, sin_np * _swap_pairs(w_k), scale,
+            float(jnp.finfo(jnp.float32).eps), float(jnp.finfo(jnp.float32).eps),
+            nh)
+    want = _composition(*args)
+    got = _pallas_fused(*args, block_q_cap=128, single_kv_max=128)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
