@@ -304,13 +304,22 @@ class JointAttention(nn.Module):
         angles = self._fused_angles(n, hd, hw)
         # int8 QK^T: at head_dim 64 the bf16 score contraction half-fills
         # the MXU's 128-deep passes; the s8xs8 path's 2x issue rate restores
-        # full rate (ops/fused_attention.py). Rides the serving quant flag;
-        # opt out per-layer with quant_skip=("attn_qk",). Drift-validated on
-        # trained weights (scripts/int8_drift.py, BASELINE.md).
+        # full rate (ops/fused_attention.py). Length-gated by measurement:
+        # +0.9% at n=1178 (512px), a net LOSS at n=410 (256px: quantize/
+        # dequant VPU work unamortized over the tiny score matmuls) and on
+        # the streaming path (>2048: kernel is VPU-bound, dequant adds to
+        # the bottleneck — flash1024_probe 5.21ms int8 vs 4.27ms bf16 at
+        # BK256, 3.53ms bf16 at the BK2176 default). So:
+        # single-KV shapes with n in [1024, 2048] only. Rides the serving
+        # quant flag; opt out per-layer with quant_skip=("attn_qk",).
+        # Drift-validated on trained weights (scripts/int8_drift.py).
+        seq = n + m
+        int8_qk = (self._int8_ok(("attn_qk",))
+                   and 1024 <= -(-seq // 128) * 128 <= 2048)
         out = fused_dual_flash_attention(
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
             self.num_heads, w_q_img, w_q_txt, w_k_img, w_k_txt,
-            angles, n, scale, int8_qk=self._int8_ok(("attn_qk",)))
+            angles, n, scale, int8_qk=int8_qk)
 
         if tail is None:
             out_x = self._dense(self.dim, "out_proj_x")(out[:, :n])

@@ -26,6 +26,7 @@ Layout notes (mosaic tiling rules: last two block dims must be divisible by
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,30 @@ def _kv_mask(j, block_k, kv_len, bq):
         return None
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + start
     return jnp.where(col < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _chunked_blocks(block_fn, nfull, block_k, carry, unroll):
+    """Run `block_fn(rows, mask=None, carry)` over the `nfull` interior
+    (unmasked) k-blocks with a chosen unroll degree: 0 or >= nfull = full
+    Python unroll (best Mosaic pipelining, stack grows with nfull); U >= 1 =
+    fori_loop over chunks of U statically unrolled iterations (stack grows
+    with U only). Static remainder blocks run unrolled."""
+    if unroll <= 0 or unroll >= nfull:
+        for j in range(nfull):
+            carry = block_fn(pl.ds(j * block_k, block_k), None, carry)
+        return carry
+    nchunks = nfull // unroll
+
+    def body(ci, c):
+        base = ci * unroll
+        for u in range(unroll):
+            c = block_fn(pl.ds((base + u) * block_k, block_k), None, c)
+        return c
+
+    carry = jax.lax.fori_loop(0, nchunks, body, carry)
+    for j in range(nchunks * unroll, nfull):
+        carry = block_fn(pl.ds(j * block_k, block_k), None, carry)
+    return carry
 
 
 def _dot(a, b, trans_b=False):
@@ -96,15 +121,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
         lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, LSE_LANES))
         return
 
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
-
-    for j in range(num_kb):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :]
-        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+    def block(rows, mask, carry):
+        m, l, acc = carry
+        k = k_ref[0, rows, :]
+        v = v_ref[0, rows, :]
         s = _dot(q, k, trans_b=True) * scale          # fp32 (bq, bk)
-        mask = _kv_mask(j, block_k, kv_len, bq)
         if mask is not None:
             s = s + mask
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -112,7 +133,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + _dot(p.astype(v.dtype), v)
-        m = m_new
+        return m_new, l, acc
+
+    carry = (jnp.full((bq, 1), NEG_INF, jnp.float32),
+             jnp.zeros((bq, 1), jnp.float32),
+             jnp.zeros((bq, d), jnp.float32))
+    # Chunked unroll (see fused_attention._stream_fwd_kernel): full unroll
+    # pipelines best but holds every iteration's (bq, bk) intermediates on
+    # the Mosaic stack; fori is compact but serializes (measured 5.0 ->
+    # 8.4 ms on the fused twin at 4250 tokens). Default preserves the
+    # original full unroll; SD3_FLASH_UNROLL=U chunks U iterations per fori
+    # step. Interior blocks skip the pad mask; the static tail masks.
+    nfull = kv_len // block_k
+    carry = _chunked_blocks(
+        block, nfull, block_k, carry,
+        int(os.environ.get("SD3_FLASH_UNROLL", "0")))
+    for j in range(nfull, num_kb):
+        carry = block(pl.ds(j * block_k, block_k),
+                      _kv_mask(j, block_k, kv_len, bq), carry)
+    m, l, acc = carry
 
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, LSE_LANES))
@@ -157,18 +196,26 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     lse = lse_ref[0][:, 0:1]
     delta = delta_ref[0][:, 0:1]
 
-    dq = jnp.zeros((bq, d), jnp.float32)
-    for j in range(k_ref.shape[1] // block_k):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :]
-        v = v_ref[0, pl.ds(j * block_k, block_k), :]
+    def block(rows, mask, dq):
+        k = k_ref[0, rows, :]
+        v = v_ref[0, rows, :]
         s = _dot(q, k, trans_b=True) * scale
-        mask = _kv_mask(j, block_k, kv_len, bq)
         if mask is not None:
             s = s + mask
         p = jnp.exp(s - lse)
         dp = _dot(do, v, trans_b=True)
         ds = (p * (dp - delta)).astype(k.dtype)
-        dq = dq + _dot(ds, k)
+        return dq + _dot(ds, k)
+
+    # chunked unroll over interior blocks + static masked tail (_fwd_kernel)
+    num_kb = k_ref.shape[1] // block_k
+    nfull = kv_len // block_k
+    dq = _chunked_blocks(block, nfull, block_k,
+                         jnp.zeros((bq, d), jnp.float32),
+                         int(os.environ.get("SD3_FLASH_UNROLL", "0")))
+    for j in range(nfull, num_kb):
+        dq = block(pl.ds(j * block_k, block_k),
+                   _kv_mask(j, block_k, kv_len, bq), dq)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -183,13 +230,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + j * bk
     row_ok = (row < kv_len).astype(jnp.float32)
 
-    dk = jnp.zeros((bk, d), jnp.float32)
-    dv = jnp.zeros((bk, d), jnp.float32)
-    for i in range(q_ref.shape[1] // block_q):
-        q = q_ref[0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
+    def block(rows, _mask, carry):
+        dk, dv = carry
+        q = q_ref[0, rows, :]
+        do = do_ref[0, rows, :]
+        lse = lse_ref[0, rows, 0:1]
+        delta = delta_ref[0, rows, 0:1]
         s = _dot(q, k, trans_b=True) * scale           # (bq, bk)
         p = jnp.exp(s - lse) * row_ok
         pt = p.astype(do.dtype)
@@ -203,6 +249,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk = dk + jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
+        return dk, dv
+
+    # chunked unroll over q blocks (see _fwd_kernel's note). Padded q rows
+    # contribute zero (their dO is zero-padded by the VJP), so every block
+    # runs the same unmasked body.
+    dk, dv = _chunked_blocks(
+        block, q_ref.shape[1] // block_q, block_q,
+        (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
+        int(os.environ.get("SD3_FLASH_UNROLL", "0")))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 

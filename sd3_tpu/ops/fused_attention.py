@@ -26,6 +26,17 @@ This kernel fixes both:
   Attention.py:240) and the per-stream norm weights need no in-kernel
   branching at all.
 
+Two kernels share that design, split by sequence length:
+
+- `_fused_fwd_kernel` (<=2048 tokens: the 256/512px shapes): whole K in one
+  KV block; K prep runs once per head-group into VMEM scratch.
+- `_stream_fwd_kernel` (2k+ tokens: the 1024px stage): K prep (and int8
+  quantization) moves OUTSIDE the kernel into one fused XLA pass — full-K
+  residency plus tables plus scratch measured right at the 16MB scoped-VMEM
+  limit at 4352 tokens (OOM at batch 2 / non-default block geometry), while
+  pre-prepped K halves the resident inputs and drops both RoPE tables and
+  all scratch.
+
 Backward: the custom VJP recomputes through an equivalent XLA composition
 (rms -> rope -> ops.flash_attention, which supplies its own Pallas backward),
 so training gradients — including the RMSNorm weight grads — are exact
@@ -119,6 +130,8 @@ def _dot_i8(a, b, trans_b=False):
 def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                       o_ref, *scratch, block_k, kv_len, p, hd,
                       eps_q, eps_k, interpret, int8_qk):
+    # Single-KV-block kernel (the 256/512px shapes: whole K fits one block).
+    #
     # The softmax scale AND log2(e) are folded into the q-side tables by the
     # wrapper (cq/sq *= scale*log2e), so s arrives pre-scaled in the exp2
     # domain: softmax(z) == exp2(z') / sum(exp2(z')) with z' = z*log2e. This
@@ -127,12 +140,18 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     # exp2 + a multiply). All max/sum/ratio algebra is scale-consistent.
     #
     # int8_qk: the QK^T contraction runs s8xs8->s32 on the MXU — at the
-    # published head_dim 64 the bf16 contraction half-fills the 128-deep
-    # systolic passes, while the int8 path's 2x issue rate restores full
-    # rate. q is quantized per row per sub-head; K per sub-head (whole-K
-    # amax, computed once in the prep phase). Dequant rides the existing
-    # (s - m) subtract as an fma. Inference-only (the VJP recomputes through
-    # the fp composition), quality-gated by scripts/int8_drift.py.
+    # published head_dim 64 the bf16 score contraction half-fills the
+    # 128-deep systolic passes, while the int8 path's 2x issue rate restores
+    # full rate. q is quantized per row per sub-head; K per sub-head
+    # (whole-K amax, computed once in the prep phase). Inference-only (the
+    # VJP recomputes through the fp composition), quality-gated by
+    # scripts/int8_drift.py.
+    #
+    # K-side RMSNorm+RoPE depends only on the (batch, head-group) grid axis;
+    # the q-block axis is the fast axis, so prep K ONCE per group into VMEM
+    # scratch and reuse it for every q block. Prep runs in row chunks:
+    # whole-K fp32 temporaries pressure the scoped-VMEM stack as block_k
+    # approaches the single_kv_max cap.
     if int8_qk:
         kprep_ref, kq_ref, kscale_ref = scratch
     else:
@@ -145,15 +164,7 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     else:
         qh = qh_f.astype(dt)
     m_len = k_ref.shape[1]
-    num_kb = m_len // block_k
-
-    # K-side RMSNorm+RoPE depends only on the (batch, head-group) grid axis;
-    # the q-block axis is the fast axis, so prep K ONCE per group into VMEM
-    # scratch and reuse it for every q block. Without this the kernel redoes
-    # the full-K prep per q block — O(n^2/bq) VPU work that cost ~25%
-    # end-to-end at 1024px (17 q blocks over a 4352-row K). Prep runs in
-    # row chunks: whole-K fp32 temporaries blow the ~16MB scoped-VMEM stack
-    # at 1024px (4608 rows).
+    assert m_len == block_k, "multi-KV-block shapes use _stream_fwd_kernel"
     chunk = next(c for c in (1024, 512, 256, 128) if m_len % c == 0)
 
     @pl.when(pl.program_id(1) == 0)
@@ -185,51 +196,174 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                 kq_ref[rows, :] = jnp.concatenate(
                     qparts, axis=-1).astype(jnp.int8)
 
-    def scores(t, rows_k, bk):
-        """(bq, bk) fp32 pre-softmax scores for sub-head t (exp2 domain)."""
+    # single-KV-block fast path: plain softmax, no online rescaling
+    v = v_ref[0]
+    mask = _kv_mask(0, block_k, kv_len, bq)
+    outs = []
+    for t in range(p):
         sl = slice(t * hd, (t + 1) * hd)
         if int8_qk:
-            s32 = _dot_i8(qi[:, sl], kq_ref[rows_k, sl], trans_b=True)
-            return s32.astype(jnp.float32) * (qscales[t] * kscale_ref[t])
-        return _dot(qh[:, sl], kprep_ref[rows_k, sl], trans_b=True)
+            s32 = _dot_i8(qi[:, sl], kq_ref[:, sl], trans_b=True)
+            s = s32.astype(jnp.float32) * (qscales[t] * kscale_ref[t])
+        else:
+            s = _dot(qh[:, sl], kprep_ref[:, sl], trans_b=True)
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        pb = jnp.exp2(s - m)
+        l = jnp.sum(pb, axis=-1, keepdims=True)
+        outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dt)
 
-    if num_kb == 1:
-        # single-KV-block fast path: plain softmax, no online rescaling
-        v = v_ref[0]
-        mask = _kv_mask(0, block_k, kv_len, bq)
-        outs = []
+
+def _stream_fwd_kernel(q_ref, kpre_ref, v_ref, cq_ref, sq_ref, *rest,
+                       block_k, kv_len, p, hd, eps_q, interpret, int8_qk,
+                       unroll):
+    # Streaming (multi-KV-block) kernel for 2k+ token joint sequences (the
+    # 1024px stage). K arrives PRE-PREPPED (RMSNorm+RoPE, and int8-quantized
+    # when int8_qk) from one fused XLA pass in the wrapper, so the kernel
+    # carries no K-side tables and no prep scratch: resident VMEM drops from
+    # ~15.5MB (full K + V + 2 tables + prep + int8 scratch at 4352 tokens —
+    # measured right at the 16MB scoped limit, OOMing at batch 2 and at any
+    # non-default block geometry) to ~3.5MB (int8-or-bf16 K + V, double-
+    # buffered). The extra HBM round-trip for prepped K is one linear pass —
+    # noise against the O(n^2) score work this kernel exists for.
+    #
+    # int8_qk here uses PER-ROW K scales (finer than the single-KV kernel's
+    # per-sub-head scalar — outside prep makes per-row free): dequant is one
+    # (1, bk) row-vector multiply plus the (bq, 1) q-scale multiply. Same
+    # exp2-domain softmax as _fused_fwd_kernel (scale*log2e on the q tables).
+    if int8_qk:
+        ksc_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    bq = q_ref.shape[1]
+    dt = v_ref.dtype
+    qh_f = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd, interpret)
+    if int8_qk:
+        qi, qscales = _q8_rows(qh_f, p, hd)
+    else:
+        qh = qh_f.astype(dt)
+    m_len = kpre_ref.shape[1]
+    num_kb = m_len // block_k
+
+    def qk_block(rows):
+        """The block's p pre-softmax score tiles (pure MXU + dequant)."""
+        kblk = kpre_ref[0, rows, :]
+        ss = []
         for t in range(p):
             sl = slice(t * hd, (t + 1) * hd)
-            s = scores(t, slice(None), block_k)
-            if mask is not None:
-                s = s + mask
-            m = jnp.max(s, axis=-1, keepdims=True)
-            pb = jnp.exp2(s - m)
-            l = jnp.sum(pb, axis=-1, keepdims=True)
-            outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
-        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dt)
-        return
+            if int8_qk:
+                ksc = ksc_ref[0, :, rows]  # (p, bk)
+                s32 = _dot_i8(qi[:, sl], kblk[:, sl], trans_b=True)
+                ss.append(s32.astype(jnp.float32) * qscales[t]
+                          * ksc[t:t + 1, :])
+            else:
+                ss.append(_dot(qh[:, sl], kblk[:, sl], trans_b=True))
+        return ss
 
-    ms = [jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(p)]
-    ls = [jnp.zeros((bq, 1), jnp.float32) for _ in range(p)]
-    accs = [jnp.zeros((bq, hd), jnp.float32) for _ in range(p)]
-    for j in range(num_kb):
-        rows = pl.ds(j * block_k, block_k)
+    def sm_pv(rows, ss, mask, carry):
+        """Online-softmax update + PV for pre-computed score tiles."""
+        ms, ls, accs = map(list, carry)
         v = v_ref[0, rows, :]
-        mask = _kv_mask(j, block_k, kv_len, bq)
         for t in range(p):
             sl = slice(t * hd, (t + 1) * hd)
-            s = scores(t, rows, block_k)
-            if mask is not None:
-                s = s + mask
+            s = ss[t] if mask is None else ss[t] + mask
             m_new = jnp.maximum(ms[t], jnp.max(s, axis=-1, keepdims=True))
             pb = jnp.exp2(s - m_new)
             alpha = jnp.exp2(ms[t] - m_new)
             ls[t] = ls[t] * alpha + jnp.sum(pb, axis=-1, keepdims=True)
             accs[t] = accs[t] * alpha + _dot(pb.astype(dt), v[:, sl])
             ms[t] = m_new
+        return tuple(ms), tuple(ls), tuple(accs)
+
+    def block_update(rows, mask, carry):
+        return sm_pv(rows, qk_block(rows), mask, carry)
+
+    carry = (tuple(jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(p)),
+             tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(p)),
+             tuple(jnp.zeros((bq, hd), jnp.float32) for _ in range(p)))
+    # Unroll policy over the interior blocks — a measured stack/pipelining
+    # tradeoff: a FULLY unrolled loop lets Mosaic software-pipeline block
+    # loads against compute (fast) but keeps every iteration's (bq, bk)
+    # fp32 score tiles live on its stack simultaneously (~bq*m_pad*8 bytes;
+    # measured 22MB scoped-VMEM OOM at bq 640), while a bare fori_loop is
+    # compact but serializes (measured 5.0 -> 8.4 ms at the 4250-token
+    # shape). `unroll` chunks U iterations per fori step: stack ~
+    # bq*U*block_k*8, pipelining inside each chunk. The wrapper picks U to
+    # fit the stack budget; interior blocks skip the pad mask, only the
+    # (static) final block masks.
+    nfull = kv_len // block_k
+    if (os.environ.get("SD3_FLASH_LOOKAHEAD", "0") == "1"
+            and (unroll <= 0 or unroll >= nfull) and num_kb > 1):
+        # Experimental software pipelining: hoist block j+1's QK^T dots
+        # (MXU) ahead of block j's softmax (VPU) so the scheduler can
+        # overlap the units — the measured kernel time equals the SERIAL
+        # sum of its MXU and VPU work, i.e. no overlap happens in program
+        # order.
+        def rows_j(j):
+            return pl.ds(j * block_k, block_k)
+
+        ss = qk_block(rows_j(0))
+        for j in range(num_kb):
+            nxt = qk_block(rows_j(j + 1)) if j + 1 < num_kb else None
+            mask = None if j < nfull else _kv_mask(j, block_k, kv_len, bq)
+            carry = sm_pv(rows_j(j), ss, mask, carry)
+            ss = nxt
+        ms, ls, accs = carry
+        o_ref[0] = jnp.concatenate(
+            [accs[t] / ls[t] for t in range(p)], axis=-1).astype(dt)
+        return
+    if unroll <= 0 or unroll >= nfull:
+        for j in range(nfull):
+            carry = block_update(pl.ds(j * block_k, block_k), None, carry)
+    else:
+        nchunks = nfull // unroll
+
+        def body(ci, c):
+            base = ci * unroll
+            for u in range(unroll):
+                c = block_update(
+                    pl.ds((base + u) * block_k, block_k), None, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, nchunks, body, carry)
+        for j in range(nchunks * unroll, nfull):  # static unmasked remainder
+            carry = block_update(pl.ds(j * block_k, block_k), None, carry)
+    for j in range(nfull, num_kb):  # static masked tail (at most one block)
+        carry = block_update(pl.ds(j * block_k, block_k),
+                             _kv_mask(j, block_k, kv_len, bq), carry)
+    ms, ls, accs = carry
     o_ref[0] = jnp.concatenate(
         [accs[t] / ls[t] for t in range(p)], axis=-1).astype(dt)
+
+
+def _prep_xla(x, cos, sin, eps, p, hd):
+    """XLA twin of the in-kernel _prep for the streaming path's K side:
+    per-sub-head RMSNorm + folded-weight rotation over (BG, M, P). Fuses
+    into one linear HBM pass; fp32 math, caller casts/quantizes."""
+    xf = x.astype(jnp.float32)
+    bg, m, P = xf.shape
+    xs = xf.reshape(bg, m, p, hd)
+    rs = jax.lax.rsqrt(jnp.mean(xs * xs, axis=-1, keepdims=True) + eps)
+    xn = (xs * rs).reshape(bg, m, P)
+    y = xn.reshape(bg, m, P // 2, 2)
+    rot = jnp.stack([-y[..., 1], y[..., 0]], axis=-1).reshape(bg, m, P)
+    return xn * cos[None].astype(jnp.float32) \
+        + rot * sin[None].astype(jnp.float32)
+
+
+def _q8_rows_xla(kh, p, hd):
+    """Per-row per-sub-head int8 quantization of prepped K (BG, M, P) fp32.
+    Returns (int8 (BG, M, P), scales (BG, p, M) fp32 — sub-head axis ahead
+    of rows so the kernel's (1, p, M) block keeps M on the 128-lane axis)."""
+    bg, m, P = kh.shape
+    ks = kh.reshape(bg, m, p, hd)
+    amax = jnp.max(jnp.abs(ks), axis=-1)                      # (bg, m, p)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(ks / scale[..., None]), -127, 127)
+    return (kq.astype(jnp.int8).reshape(bg, m, P),
+            scale.transpose(0, 2, 1))
 
 
 def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
@@ -260,16 +394,22 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     for cand in range(128, min(block_q_cap, n_pad) + 1, 128):
         if n_pad % cand == 0:
             bq = cand
-    if _round_up(n, 128) <= single_kv_max:
-        block_k = _round_up(n, 128)
+    n128 = _round_up(n, 128)
+    streaming = n128 > single_kv_max
+    if not streaming:
+        block_k = n128
     else:
-        # Streaming case (>2048 tokens, i.e. the 1024px stage). Tunables:
-        #   SD3_FLASH_BK:    k-block rows (default measured-best 512)
+        # Streaming case (>2048 tokens, i.e. the 1024px stage). Default
+        # block_k: split the padded K into the FEWEST equal ~<=2176-row
+        # chunks — measured at the 4250-token shape: 2x2176 runs 3.63 ms vs
+        # 4.27 ms for 17x256 (fewer, deeper MXU calls and fewer per-block
+        # row-stat passes; the chunks also tile n128 exactly, so masked pad
+        # columns stay minimal). Tunables for re-tuning on new shapes:
+        #   SD3_FLASH_BK:    override k-block rows
         #   SD3_FLASH_BQPAD: force this q block, padding n up to a multiple
-        #                    (e.g. 640 pads 4352->4480, +2.9% rows, in
-        #                    exchange for 640-row MXU passes; default off)
-        block_k = min(int(os.environ.get("SD3_FLASH_BK", DEFAULT_BLOCK_K)),
-                      _round_up(n, 128))
+        #                    (e.g. 640 pads 4352->4480; default off)
+        default_bk = _round_up(_cdiv(n128, _cdiv(n128, 2176)), 128)
+        block_k = min(int(os.environ.get("SD3_FLASH_BK", default_bk)), n128)
         bqpad = int(os.environ.get("SD3_FLASH_BQPAD", "0"))
         if bqpad:
             bq = bqpad
@@ -294,30 +434,64 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     cq, sq = cq.astype(tdt), sq.astype(tdt)
 
     interpret = _use_interpret()
-    kernel = functools.partial(
-        _fused_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
-        eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk)
-    scratch = [pltpu.VMEM((m_pad, P), q.dtype)]
-    if int8_qk:
-        scratch += [pltpu.VMEM((m_pad, P), jnp.int8),
-                    pltpu.SMEM((p,), jnp.float32)]
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * g, n_pad // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0)),
-            pl.BlockSpec((1, m_pad, P), lambda gi, qi: (gi, 0, 0)),
-            pl.BlockSpec((1, m_pad, P), lambda gi, qi: (gi, 0, 0)),
-            pl.BlockSpec((bq, P), lambda gi, qi: (qi, 0)),
-            pl.BlockSpec((bq, P), lambda gi, qi: (qi, 0)),
-            pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0)),
-            pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * g, n_pad, P), q.dtype),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(qp, kp, vp, cq, sq, ck, sk)
+    qspec = pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0))
+    fullspec = pl.BlockSpec((1, m_pad, P), lambda gi, qi: (gi, 0, 0))
+    tabspec = pl.BlockSpec((bq, P), lambda gi, qi: (qi, 0))
+    out_spec = pl.BlockSpec((1, bq, P), lambda gi, qi: (gi, qi, 0))
+    out_shape = jax.ShapeDtypeStruct((b * g, n_pad, P), q.dtype)
+    grid = (b * g, n_pad // bq)
+
+    if streaming:
+        # K prep (and quantization) outside the kernel — see
+        # _stream_fwd_kernel for the VMEM accounting that motivates this.
+        kh = _prep_xla(kp, ck, sk, eps_k, p, d)
+        # Unroll degree: biggest chunk whose live score tiles
+        # (~bq*U*block_k*8B: s and pb in fp32, per sub-head staggered) fit
+        # a ~5MB stack budget next to the double-buffered inputs (measured:
+        # a 6-chunk unroll at bq 640 x bk 256 = 7.5MB of tiles pushed the
+        # whole kernel to 16.69M scoped — just over the 16M limit).
+        # SD3_FLASH_UNROLL overrides (0 = fully unrolled).
+        u_env = os.environ.get("SD3_FLASH_UNROLL", "")
+        if u_env:
+            unroll = int(u_env)
+        else:
+            unroll = max(1, (5 << 20) // (bq * block_k * 8))
+        kernel = functools.partial(
+            _stream_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
+            eps_q=eps_q, interpret=interpret, int8_qk=int8_qk,
+            unroll=unroll)
+        ins = [qp, None, vp, cq, sq]
+        in_specs = [qspec, fullspec, fullspec, tabspec, tabspec]
+        if int8_qk:
+            kpre, ksc = _q8_rows_xla(kh, p, d)
+            ins[1] = kpre
+            ins.append(ksc)
+            in_specs.append(
+                pl.BlockSpec((1, p, m_pad), lambda gi, qi: (gi, 0, 0)))
+        else:
+            ins[1] = kh.astype(q.dtype)
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret)(*ins)
+    else:
+        kernel = functools.partial(
+            _fused_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
+            eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk)
+        scratch = [pltpu.VMEM((m_pad, P), q.dtype)]
+        if int8_qk:
+            scratch += [pltpu.VMEM((m_pad, P), jnp.int8),
+                        pltpu.SMEM((p,), jnp.float32)]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[qspec, fullspec, fullspec, tabspec, tabspec,
+                      pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0)),
+                      pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0))],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(qp, kp, vp, cq, sq, ck, sk)
 
     out = out[:, :n].reshape(b, g, n, P).transpose(0, 2, 1, 3)
     return out.reshape(b, n, hp * d)[:, :, :f]
