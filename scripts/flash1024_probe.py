@@ -77,11 +77,20 @@ def main():
 
     iters = args.iters
 
+    def one_all(x):
+        # x feeds back as q AND k AND v: with k constant across iterations,
+        # XLA hoists any out-of-kernel K prep out of the loop and the probe
+        # under-reports by exactly the per-layer prep cost (this bit round
+        # 4: the probe said -17%, the end-to-end 1024px bench said -6%).
+        return _pallas_fused(x, x, x, cos, sin, cos, sin, 0.125, eps, eps,
+                             args.heads, single_kv_max=args.single_kv_max,
+                             int8_qk=args.int8).astype(x.dtype)
+
     @jax.jit
     def chained(qq):
-        # output feeds back as q: iters sequential kernel executions in one
+        # output feeds back: iters sequential kernel executions in one
         # dispatch; the final sum is the only host fetch
-        out = jax.lax.fori_loop(0, iters, lambda i, x: one(x), qq)
+        out = jax.lax.fori_loop(0, iters, lambda i, x: one_all(x), qq)
         return jnp.sum(out.astype(jnp.float32))
 
     t0 = time.time()

@@ -29,13 +29,14 @@ This kernel fixes both:
 Two kernels share that design, split by sequence length:
 
 - `_fused_fwd_kernel` (<=2048 tokens: the 256/512px shapes): whole K in one
-  KV block; K prep runs once per head-group into VMEM scratch.
-- `_stream_fwd_kernel` (2k+ tokens: the 1024px stage): K prep (and int8
-  quantization) moves OUTSIDE the kernel into one fused XLA pass — full-K
-  residency plus tables plus scratch measured right at the 16MB scoped-VMEM
-  limit at 4352 tokens (OOM at batch 2 / non-default block geometry), while
-  pre-prepped K halves the resident inputs and drops both RoPE tables and
-  all scratch.
+  KV block; K prep runs once per head-group into VMEM scratch; bf16 rows use
+  a bounded softmax (no max pass, exact — see the kernel header).
+- `_stream_fwd_kernel` (2k+ tokens: the 1024px stage): K streams through in
+  ~2176-row blocks with online softmax; K prep runs in-kernel at q-block 0,
+  CHUNKED into a bf16 scratch (chunking bounds the fp32 prep temporaries
+  that OOM'd the original un-chunked design at 4352 tokens). The opt-in
+  int8 score path pre-preps+quantizes K in one XLA pass instead (per-row
+  scales for free).
 
 Backward: the custom VJP recomputes through an equivalent XLA composition
 (rms -> rope -> ops.flash_attention, which supplies its own Pallas backward),
@@ -152,10 +153,25 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     # scratch and reuse it for every q block. Prep runs in row chunks:
     # whole-K fp32 temporaries pressure the scoped-VMEM stack as block_k
     # approaches the single_kv_max cap.
+    #
+    # Bounded softmax (bf16 path; no max pass): RMSNorm bounds every score
+    # row — |s| <= ||q_hat_row|| * max_rows ||k_hat|| (Cauchy-Schwarz), both
+    # norms cheap (q: one lane-reduce per q block; K: folded into the prep
+    # loop, amortized over q blocks). softmax(s) == exp2(s - B) /
+    # sum(exp2(s - B)) for ANY per-row B, so using the bound instead of the
+    # true max is exact up to rounding; with B >= max(s), exp2 never
+    # overflows and pb <= 1. This deletes the full (bq, m) max-reduce VPU
+    # pass per sub-head — the shifted exp2 costs what the (s - m) exp2 cost.
+    # Bound slack only shifts pb's exponent down (<= ~2*log2-score-range
+    # ~ 25 bits, harmless in fp32). Measured at the 1178-token 512px shape:
+    # 1.002 -> 0.869 ms (-13%). The int8 path KEEPS the true max pass: its
+    # dequantized scores can exceed the fp bound by quantization error (a
+    # margin would cover it, but measured int8 bounded was no faster —
+    # 0.847 vs 0.835 ms — so exactness wins).
     if int8_qk:
         kprep_ref, kq_ref, kscale_ref = scratch
     else:
-        (kprep_ref,) = scratch
+        kprep_ref, kn_ref = scratch
     bq = q_ref.shape[1]
     dt = q_ref.dtype
     qh_f = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd, interpret)
@@ -169,11 +185,20 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
 
     @pl.when(pl.program_id(1) == 0)
     def _prep_k():
+        kn2 = [jnp.float32(0) for _ in range(p)]
         for j0 in range(m_len // chunk):
             rows = pl.ds(j0 * chunk, chunk)
-            kprep_ref[rows, :] = _prep(
-                k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
-                eps_k, p, hd, interpret).astype(dt)
+            kh_c = _prep(k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
+                         eps_k, p, hd, interpret)
+            kprep_ref[rows, :] = kh_c.astype(dt)
+            if not int8_qk:
+                for t in range(p):
+                    sq_c = kh_c[:, t * hd:(t + 1) * hd]
+                    kn2[t] = jnp.maximum(
+                        kn2[t], jnp.max(jnp.sum(sq_c * sq_c, axis=-1)))
+        if not int8_qk:
+            for t in range(p):
+                kn_ref[t] = jnp.sqrt(kn2[t])
         if int8_qk:
             # per-sub-head whole-K scale, then quantize from the stored
             # bf16 prep (second pass; chunked like the first)
@@ -196,7 +221,9 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                 kq_ref[rows, :] = jnp.concatenate(
                     qparts, axis=-1).astype(jnp.int8)
 
-    # single-KV-block fast path: plain softmax, no online rescaling
+    # single-KV-block fast path: bf16 uses the bounded softmax (see header
+    # note, B_row = ||q_hat_row|| * kn[t] from the prep phase); int8 keeps
+    # the exact max pass.
     v = v_ref[0]
     mask = _kv_mask(0, block_k, kv_len, bq)
     outs = []
@@ -205,38 +232,60 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         if int8_qk:
             s32 = _dot_i8(qi[:, sl], kq_ref[:, sl], trans_b=True)
             s = s32.astype(jnp.float32) * (qscales[t] * kscale_ref[t])
+            if mask is not None:
+                s = s + mask
+            shift = jnp.max(s, axis=-1, keepdims=True)
         else:
+            qs_f = qh_f[:, sl]
+            shift = jnp.sqrt(jnp.sum(qs_f * qs_f, axis=-1, keepdims=True)) \
+                * kn_ref[t]
             s = _dot(qh[:, sl], kprep_ref[:, sl], trans_b=True)
-        if mask is not None:
-            s = s + mask
-        m = jnp.max(s, axis=-1, keepdims=True)
-        pb = jnp.exp2(s - m)
+            if mask is not None:
+                s = s + mask
+        pb = jnp.exp2(s - shift)
         l = jnp.sum(pb, axis=-1, keepdims=True)
         outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dt)
 
 
-def _stream_fwd_kernel(q_ref, kpre_ref, v_ref, cq_ref, sq_ref, *rest,
-                       block_k, kv_len, p, hd, eps_q, interpret, int8_qk,
-                       unroll):
+def _stream_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, *rest,
+                       block_k, kv_len, p, hd, eps_q, eps_k, interpret,
+                       int8_qk, unroll):
     # Streaming (multi-KV-block) kernel for 2k+ token joint sequences (the
-    # 1024px stage). K arrives PRE-PREPPED (RMSNorm+RoPE, and int8-quantized
-    # when int8_qk) from one fused XLA pass in the wrapper, so the kernel
-    # carries no K-side tables and no prep scratch: resident VMEM drops from
-    # ~15.5MB (full K + V + 2 tables + prep + int8 scratch at 4352 tokens —
-    # measured right at the 16MB scoped limit, OOMing at batch 2 and at any
-    # non-default block geometry) to ~3.5MB (int8-or-bf16 K + V, double-
-    # buffered). The extra HBM round-trip for prepped K is one linear pass —
-    # noise against the O(n^2) score work this kernel exists for.
+    # 1024px stage).
     #
-    # int8_qk here uses PER-ROW K scales (finer than the single-KV kernel's
-    # per-sub-head scalar — outside prep makes per-row free): dequant is one
-    # (1, bk) row-vector multiply plus the (bq, 1) q-scale multiply. Same
-    # exp2-domain softmax as _fused_fwd_kernel (scale*log2e on the q tables).
+    # K prep (RMSNorm+RoPE) runs IN-KERNEL, once per (batch, head-group) at
+    # q-block 0, chunked into a bf16 VMEM scratch that every later q block
+    # reads (same amortization as _fused_fwd_kernel). An earlier revision
+    # pre-prepped K in an XLA pass outside the kernel; the isolated probe
+    # clocked that 1 ms/layer faster, but ONLY because the probe's chained
+    # timing loop held K constant so XLA hoisted the prep out of the loop —
+    # in the real model (fresh K every layer) the XLA prep materializes
+    # multiple fp32 HBM passes and the end-to-end 1024px bench REGRESSED
+    # 0.526 -> 0.495 img/s. In-kernel chunked prep bounds the fp32
+    # temporaries to one chunk (the whole-K fp32 residency that OOM'd the
+    # original single-kernel design at 4352 tokens came from un-chunked
+    # prep), and the bf16 scratch costs 1.1 MB at 4352 tokens.
+    #
+    # int8_qk keeps the XLA pre-prep + PER-ROW K scales (finer than the
+    # single-KV kernel's per-sub-head scalar — outside prep makes per-row
+    # free): dequant is one (1, bk) row-vector multiply plus the (bq, 1)
+    # q-scale multiply. int8 is length-gated OFF at streaming lengths by
+    # ops/attention.py (measured VPU-bound loss), so that path is opt-in.
+    # Same exp2-domain softmax as _fused_fwd_kernel (scale*log2e on the q
+    # tables).
+    #
+    # This kernel keeps ONLINE softmax (running max + alpha rescales), unlike
+    # _fused_fwd_kernel's bounded softmax: measured at the 4250-token shape,
+    # removing the max/rescale VPU work changed nothing (3.537 vs 3.525 ms
+    # with a free static bound — the VPU overlaps here; the critical path is
+    # MXU + per-cell overheads). Bounded softmax only pays on the single-KV
+    # kernel (-13%).
     if int8_qk:
         ksc_ref, o_ref = rest
+        kpre_ref = k_ref
     else:
-        (o_ref,) = rest
+        ck_ref, sk_ref, o_ref, kprep_ref = rest
     bq = q_ref.shape[1]
     dt = v_ref.dtype
     qh_f = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd, interpret)
@@ -244,12 +293,23 @@ def _stream_fwd_kernel(q_ref, kpre_ref, v_ref, cq_ref, sq_ref, *rest,
         qi, qscales = _q8_rows(qh_f, p, hd)
     else:
         qh = qh_f.astype(dt)
-    m_len = kpre_ref.shape[1]
+    m_len = k_ref.shape[1]
     num_kb = m_len // block_k
+
+    if not int8_qk:
+        chunk = next(c for c in (1024, 512, 256, 128) if m_len % c == 0)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _prep_k():
+            for j0 in range(m_len // chunk):
+                rows = pl.ds(j0 * chunk, chunk)
+                kprep_ref[rows, :] = _prep(
+                    k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
+                    eps_k, p, hd, interpret).astype(dt)
 
     def qk_block(rows):
         """The block's p pre-softmax score tiles (pure MXU + dequant)."""
-        kblk = kpre_ref[0, rows, :]
+        kblk = kpre_ref[0, rows, :] if int8_qk else kprep_ref[rows, :]
         ss = []
         for t in range(p):
             sl = slice(t * hd, (t + 1) * hd)
@@ -442,9 +502,6 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     grid = (b * g, n_pad // bq)
 
     if streaming:
-        # K prep (and quantization) outside the kernel — see
-        # _stream_fwd_kernel for the VMEM accounting that motivates this.
-        kh = _prep_xla(kp, ck, sk, eps_k, p, d)
         # Unroll degree: biggest chunk whose live score tiles
         # (~bq*U*block_k*8B: s and pb in fp32, per sub-head staggered) fit
         # a ~5MB stack budget next to the double-buffered inputs (measured:
@@ -458,21 +515,32 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
             unroll = max(1, (5 << 20) // (bq * block_k * 8))
         kernel = functools.partial(
             _stream_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
-            eps_q=eps_q, interpret=interpret, int8_qk=int8_qk,
+            eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk,
             unroll=unroll)
         ins = [qp, None, vp, cq, sq]
         in_specs = [qspec, fullspec, fullspec, tabspec, tabspec]
+        scratch = []
         if int8_qk:
+            # int8: K prep + per-row quantization outside the kernel in one
+            # XLA pass (see _stream_fwd_kernel header).
+            kh = _prep_xla(kp, ck, sk, eps_k, p, d)
             kpre, ksc = _q8_rows_xla(kh, p, d)
             ins[1] = kpre
             ins.append(ksc)
             in_specs.append(
                 pl.BlockSpec((1, p, m_pad), lambda gi, qi: (gi, 0, 0)))
         else:
-            ins[1] = kh.astype(q.dtype)
+            # bf16: raw K + tables in; prep runs in-kernel at q-block 0
+            # into the bf16 scratch (see _stream_fwd_kernel header).
+            ins[1] = kp
+            ins += [ck, sk]
+            ktabspec = pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0))
+            in_specs += [ktabspec, ktabspec]
+            scratch.append(pltpu.VMEM((m_pad, P), q.dtype))
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
-            out_shape=out_shape, interpret=interpret)(*ins)
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret)(*ins)
     else:
         kernel = functools.partial(
             _fused_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
@@ -481,6 +549,8 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
         if int8_qk:
             scratch += [pltpu.VMEM((m_pad, P), jnp.int8),
                         pltpu.SMEM((p,), jnp.float32)]
+        else:
+            scratch.append(pltpu.SMEM((p,), jnp.float32))  # kn (bounded sm)
         out = pl.pallas_call(
             kernel,
             grid=grid,
