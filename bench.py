@@ -50,6 +50,31 @@ def model_flops_per_forward(cfg, img_tokens: int) -> float:
     return cfg.num_blocks * per_block + embed
 
 
+def _timed_groups(dispatch, fence, args, per_group=None):
+    """Shared timing harness: warmup group + >= `--groups` timed pipelined
+    groups; returns the per-iteration MEDIAN group time. Spread diagnostics
+    go to stderr so the driver-captured JSON stays reproducible."""
+    import statistics
+    n = per_group or args.iters
+    t0 = time.time()
+    fence([dispatch() for _ in range(n)][-1])
+    log(f"warmup group ({n} iters): {(time.time()-t0)/n:.3f}s/iter")
+    times = []
+    for _ in range(max(args.groups, 4)):
+        t0 = time.time()
+        outs = [dispatch() for _ in range(n)]
+        fence(outs[-1])
+        times.append((time.time() - t0) / n)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med
+    log(f"group times: {[f'{t:.3f}' for t in times]} | median {med:.3f} "
+        f"min {min(times):.3f} max {max(times):.3f} spread {spread*100:.1f}%")
+    if spread > 0.05:
+        log(f"WARNING: group spread {spread*100:.1f}% > 5% — chip likely "
+            "shared or throttled; median still reported")
+    return med
+
+
 def bench_sampling(args):
     import jax
     import jax.numpy as jnp
@@ -109,15 +134,14 @@ def bench_sampling(args):
     # every sample call. A serving loop keeps the device queue full, so the
     # steady-state number is the honest one. Executions on the single chip
     # serialize in dispatch order — fencing the last fences the group.
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        outs = [dispatch() for _ in range(args.iters)]
-        fence(outs[-1])
-        times.append((time.time() - t0) / args.iters)
-    dt = min(times)
+    #
+    # Robustness (round 5, after the round-4 builder/driver 8% discrepancy):
+    # one untimed warmup group, then >= 4 timed groups; the JSON carries the
+    # MEDIAN (stable against one slow group from a shared/throttled chip AND
+    # against one lucky fast group — min-of-2 was how round 4's claim and
+    # the driver capture diverged). Full per-group list + spread on stderr.
+    dt = _timed_groups(dispatch, fence, args)
     imgs_per_sec = b / dt
-    log(f"sample times: {[f'{t:.2f}' for t in times]} -> {imgs_per_sec:.3f} img/s")
 
     # analytic A100 baseline
     img_tokens = cfg.img_tokens(lat, lat)
@@ -150,10 +174,13 @@ def bench_train(args):
     # more than one v5e's 16G (the reference trained on 80GB A100s); low-mem
     # states + the acc==1 fast path fit it on a single chip.
     tcfg = TrainConfig(batch_size=args.batch, accumulation_steps=args.acc,
-                       total_steps=10**9, ema_update_freq=10**9,
+                       total_steps=10**9, ema_update_freq=args.ema_update_freq
+                       if args.ema != "none" else 10**9,
                        num_save_steps=10**9, log_steps=10**9,
                        save_dir="/tmp/bench_train", low_mem_optimizer=True,
-                       track_ema=False, remat_policy=args.remat_policy,
+                       track_ema=args.ema != "none",
+                       ema_on_host=args.ema == "host",
+                       remat_policy=args.remat_policy,
                        bf16_grads=args.bf16_grads,
                        bf16_grad_accum=args.bf16_grads,
                        precast_params=args.precast,
@@ -176,13 +203,8 @@ def bench_train(args):
     # axon dispatch/fetch RTT to every step — which is exactly how the real
     # Trainer.train loop behaves (loss fetched only at log_steps).
     giters = max(args.iters, 8)  # steps are short; amortize the RTT to <1.5%
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        ms = [trainer.train_step(batch) for _ in range(giters)]
-        force(ms[-1])
-        times.append((time.time() - t0) / giters)
-    dt = min(times)
+    dt = _timed_groups(lambda: trainer.train_step(batch), force, args,
+                       per_group=giters)
     imgs = args.batch * args.acc  # per optimizer step
     img_tokens = cfg.img_tokens(args.res // 8, args.res // 8)
     flops = model_flops_per_forward(cfg, img_tokens) * 3 * imgs  # fwd+bwd
@@ -245,6 +267,11 @@ def main():
     p.add_argument("--scan", action="store_true", default=False,
                    help="scan-over-blocks stacked-param layout (train bench)")
     p.add_argument("--no_scan", dest="scan", action="store_false")
+    p.add_argument("--ema", default="none", choices=["none", "device", "host"],
+                   help="train bench EMA replica: none (historic bench "
+                        "default), device (fp32 in HBM, +~5GB at 1.2B), "
+                        "host (fp32 in host RAM — TrainConfig.ema_on_host)")
+    p.add_argument("--ema_update_freq", type=int, default=100)
     p.add_argument("--no_remat", action="store_true",
                    help="store block activations instead of recomputing "
                         "(train bench; fits 256px batch<=16)")

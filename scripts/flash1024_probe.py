@@ -15,7 +15,7 @@ fetching a scalar sum — per-iteration time is total/iters with every
 overhead amortized.
 
   python scripts/flash1024_probe.py [--n 4250] [--iters 50] [--int8]
-  SD3_FLASH_BK=512 SD3_FLASH_UNROLL=4 python scripts/flash1024_probe.py
+  SD3_FLASH_BK=512 SD3_FUSED_UNROLL=4 python scripts/flash1024_probe.py
 """
 
 from __future__ import annotations
@@ -111,7 +111,7 @@ def main():
     print(json.dumps({"n": args.n, "int8": args.int8,
                       "bk": os.environ.get("SD3_FLASH_BK", "default"),
                       "bqpad": os.environ.get("SD3_FLASH_BQPAD", "0"),
-                      "unroll": os.environ.get("SD3_FLASH_UNROLL", "auto"),
+                      "unroll": os.environ.get("SD3_FUSED_UNROLL", "auto"),
                       "ms": round(dt * 1e3, 3),
                       "tf_per_s": round(fl / dt / 1e12, 2)}))
 

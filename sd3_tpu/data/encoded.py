@@ -79,7 +79,10 @@ def encoded_batch_iter(cfg, tcfg, parquet_folder: str,
         from sd3_tpu.data.ringbuffer import RingDataLoader
         loader = RingDataLoader(parquet_folder, batch_size=tcfg.batch_size,
                                 num_workers=ring_workers, seed=seed,
-                                bucket_indices_path=bucket_indices_path)
+                                bucket_indices_path=bucket_indices_path,
+                                bucket_seed=bucket_seed,
+                                shard_index=shard_index,
+                                shard_count=shard_count)
     else:
         ds = ParquetImageText(parquet_folder, bucket_indices_path)
         # bucket_seed set (multi-host): every host must emit the same batch

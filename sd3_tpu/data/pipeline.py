@@ -117,7 +117,15 @@ class HostDataLoader:
                  seed: int = 0, prefetch: int = 4, num_threads: int = 2,
                  clean_captions: bool = False, first_n_largest: int = 1,
                  bucket_seed: int | None = None,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 stride: int = 1, stride_offset: int = 0):
+        # stride/stride_offset: decode only sampler draws with
+        # global_seq % stride == stride_offset, but keep GLOBAL sequence
+        # numbering (draw order, decode RNG keys). `stride` ring-loader
+        # workers with offsets 0..stride-1 then jointly reproduce EXACTLY
+        # the single-loader stream — each batch decoded once, order and
+        # caption picks byte-identical (data/ringbuffer.py reorders by seq).
+        assert 0 <= stride_offset < stride
         assert dataset.buckets is not None, "dataset has no bucket_size column"
         self.ds = dataset
         self.sampler = RandomBucketSampler(dataset.buckets, batch_size,
@@ -138,8 +146,10 @@ class HostDataLoader:
         self._prefetch = max(prefetch, num_threads)
         self._cond = threading.Condition()
         self._ready: dict[int, dict] = {}
-        self._draw_seq = 0       # next sequence number to hand to a worker
-        self._emit_seq = 0       # next sequence number __next__ returns
+        self._stride = stride
+        self._draw_seq = 0       # next GLOBAL sequence number (all strides)
+        self._emit_seq = stride_offset  # next seq __next__ returns (+= stride)
+        self._owned_pending = 0  # owned draws not yet emitted (backpressure)
         self._exhausted = False  # sampler raised StopIteration
         self._error: BaseException | None = None
         self._it = iter(self.sampler)
@@ -162,13 +172,14 @@ class HostDataLoader:
             if self.clean:
                 cap = clean_caption(cap, rng)
             caps.append(cap)
-        return {"image": imgs, "caption": caps, "bucket": bucket}
+        # "seq" = global sampler sequence — the ring loader's reorder key
+        return {"image": imgs, "caption": caps, "bucket": bucket, "seq": seq}
 
     def _worker(self):
         while not self._stop.is_set():
             with self._cond:
                 # backpressure: stay within `prefetch` undelivered batches
-                while (self._draw_seq - self._emit_seq >= self._prefetch
+                while (self._owned_pending >= self._prefetch
                        and not self._stop.is_set()):
                     self._cond.wait(timeout=0.1)
                 if self._stop.is_set():
@@ -181,6 +192,9 @@ class HostDataLoader:
                     return
                 seq = self._draw_seq
                 self._draw_seq += 1
+                if seq % self._stride != self._emit_seq % self._stride:
+                    continue  # another stride-worker's draw: skip undecoded
+                self._owned_pending += 1
             try:
                 batch = self._decode(bucket, idxs, seq)
             except BaseException as e:  # surface in __next__, don't hang
@@ -202,7 +216,8 @@ class HostDataLoader:
                     raise self._error
                 if self._emit_seq in self._ready:
                     batch = self._ready.pop(self._emit_seq)
-                    self._emit_seq += 1
+                    self._emit_seq += self._stride
+                    self._owned_pending -= 1
                     self._cond.notify_all()
                     return batch
                 if self._exhausted and self._emit_seq >= self._draw_seq:

@@ -187,35 +187,59 @@ from sd3_tpu.data.pipeline import ParquetImageText, HostDataLoader
 
 cfg = json.loads(sys.argv[1])
 ds = ParquetImageText(cfg["parquet_folder"], cfg.get("bucket_indices_path"))
+# Every worker runs the SAME sampler stream (same seed/bucket_seed) and
+# decodes only its stride residue — together the workers reproduce exactly
+# the single-loader sequence; the parent reorders by the "seq" tag.
 loader = HostDataLoader(ds, batch_size=cfg["batch_size"],
                         seed=cfg["seed"], num_threads=1,
-                        first_n_largest=cfg.get("first_n_largest", 1))
+                        first_n_largest=cfg.get("first_n_largest", 1),
+                        bucket_seed=cfg.get("bucket_seed"),
+                        shard_index=cfg.get("shard_index", 0),
+                        shard_count=cfg.get("shard_count", 1),
+                        stride=cfg.get("stride", 1),
+                        stride_offset=cfg.get("stride_offset", 0))
 ring = Ring.open(cfg["ring_name"])
 try:
     for batch in loader:
         ring.push_batch({"image": batch["image"],
                          "caption": batch["caption"],
-                         "bucket": batch["bucket"]})
+                         "bucket": batch["bucket"],
+                         "seq": batch["seq"]})
 except BrokenPipeError:
     pass
 """
 
 
 class RingDataLoader:
-    """Loader processes -> shared-memory ring -> this iterator."""
+    """Loader processes -> shared-memory ring -> this iterator.
+
+    Emission is strictly in global sampler order (workers tag batches with
+    their sampler sequence number; pops are reordered here), so a shared
+    ``bucket_seed`` + per-host ``shard_index``/``shard_count`` give the same
+    multi-host determinism contract as the in-process HostDataLoader: every
+    host sees the same bucket (= batch shape) sequence while item picks stay
+    disjoint — the requirement for SPMD lockstep (training/train.py).
+    """
 
     def __init__(self, parquet_folder: str, batch_size: int,
                  num_workers: int = 1, slot_mb: int = 64, num_slots: int = 8,
-                 seed: int = 0, bucket_indices_path: str | None = None):
+                 seed: int = 0, bucket_indices_path: str | None = None,
+                 bucket_seed: int | None = None,
+                 shard_index: int = 0, shard_count: int = 1):
         import sys
         self.ring = Ring.create(f"/sd3ring_{os.getpid()}",
                                 slot_mb * 1024 * 1024, num_slots)
+        self._reorder: dict[int, dict] = {}
+        self._emit = 0
         self._procs = []
         for w in range(num_workers):
             cfg = {"parquet_folder": parquet_folder,
                    "bucket_indices_path": bucket_indices_path,
-                   "batch_size": batch_size, "seed": seed + w,
-                   "ring_name": self.ring.name}
+                   "batch_size": batch_size, "seed": seed,
+                   "ring_name": self.ring.name,
+                   "bucket_seed": bucket_seed,
+                   "shard_index": shard_index, "shard_count": shard_count,
+                   "stride": num_workers, "stride_offset": w}
             p = subprocess.Popen(
                 [sys.executable, "-c", _WORKER_MAIN, json.dumps(cfg)],
                 cwd=os.path.dirname(os.path.dirname(
@@ -226,10 +250,14 @@ class RingDataLoader:
         return self
 
     def __next__(self):
-        batch = self.ring.pop_batch()
-        if batch is None:
-            raise StopIteration
-        return batch
+        while self._emit not in self._reorder:
+            batch = self.ring.pop_batch()
+            if batch is None:
+                raise StopIteration
+            self._reorder[batch.pop("seq")] = batch
+        out = self._reorder.pop(self._emit)
+        self._emit += 1
+        return out
 
     def close(self):
         self.ring.close()

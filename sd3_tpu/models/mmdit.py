@@ -143,51 +143,87 @@ class DualStreamBlock(nn.Module):
 class _ScanBody(nn.Module):
     """One scan iteration over the stacked transformer blocks: carry is
     (x, c); y is broadcast (each block applies its own y_proj). `block_cls`
-    is DualStreamBlock, optionally already remat-wrapped."""
+    is DualStreamBlock, optionally already remat-wrapped.
+
+    pair=True (attn_type="both", which alternates softmax/cosine by layer
+    parity — ops/attention.py _resolved_attn_type): each iteration applies
+    TWO blocks, an even-parity one (layer_idx 0 -> softmax) then an
+    odd-parity one (layer_idx 1 -> cosine), so the scan body is identical
+    across iterations while the layer-parity pattern of the unrolled model
+    is preserved. Params stack under blocks_stack/{block,block_odd}."""
 
     cfg: MMDiTConfig
     fused_attn: bool
     hw: tuple
     block_cls: Any = DualStreamBlock
+    pair: bool = False
 
     @nn.compact
     def __call__(self, carry, y):
         x, c = carry
         x, c = self.block_cls(self.cfg, 0, False, self.fused_attn,
                               name="block")(x, c, y, self.hw)
+        if self.pair:
+            x, c = self.block_cls(self.cfg, 1, False, self.fused_attn,
+                                  name="block_odd")(x, c, y, self.hw)
         return (x, c), None
 
 
-def to_scan_params(params: dict, num_scan: int) -> dict:
+def to_scan_params(params: dict, num_scan: int, pair: bool = False) -> dict:
     """Canonical per-block tree (blocks_0..blocks_{n-1}) -> scan layout:
     blocks_0..{num_scan-1} stacked on a leading axis under
     blocks_stack/block; later blocks (the `last=True` tail) stay unrolled.
+    pair=True (attn_type="both"): even blocks stack under blocks_stack/block,
+    odd blocks under blocks_stack/block_odd (see _ScanBody.pair).
     Exact inverse of `from_scan_params`; checkpoints always store the
     canonical layout."""
     import re
     out = {k: v for k, v in params.items()
            if not re.fullmatch(r"blocks_(\d+)", k)
            or int(k.split("_")[1]) >= num_scan}
-    stacked = jax.tree_util.tree_map(
-        lambda *ls: jnp.stack(ls),
-        *[params[f"blocks_{i}"] for i in range(num_scan)])
-    out["blocks_stack"] = {"block": stacked}
+    stack = lambda idxs: jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *[params[f"blocks_{i}"] for i in idxs])
+    if pair:
+        assert num_scan % 2 == 0, "pair scan stacks blocks two at a time"
+        out["blocks_stack"] = {"block": stack(range(0, num_scan, 2)),
+                               "block_odd": stack(range(1, num_scan, 2))}
+    else:
+        out["blocks_stack"] = {"block": stack(range(num_scan))}
     return out
 
 
-def from_scan_params(params: dict, num_scan: int) -> dict:
+def from_scan_params(params: dict, num_scan: int, pair: bool = False) -> dict:
     """Inverse of `to_scan_params` (scan layout -> canonical per-block)."""
     out = {k: v for k, v in params.items() if k != "blocks_stack"}
-    st = params["blocks_stack"]["block"]
-    for i in range(num_scan):
-        out[f"blocks_{i}"] = jax.tree_util.tree_map(lambda x: x[i], st)
+    pick = lambda st, i: jax.tree_util.tree_map(lambda x: x[i], st)
+    if pair:
+        even, odd = (params["blocks_stack"]["block"],
+                     params["blocks_stack"]["block_odd"])
+        for i in range(num_scan // 2):
+            out[f"blocks_{2 * i}"] = pick(even, i)
+            out[f"blocks_{2 * i + 1}"] = pick(odd, i)
+    else:
+        st = params["blocks_stack"]["block"]
+        for i in range(num_scan):
+            out[f"blocks_{i}"] = pick(st, i)
     return out
+
+
+def scan_pair(cfg: MMDiTConfig) -> bool:
+    """attn_type="both" alternates softmax/cosine by layer parity, so the
+    scan body covers TWO blocks per iteration (_ScanBody.pair)."""
+    return cfg.attn_type == "both"
 
 
 def num_scan_blocks(cfg: MMDiTConfig) -> int:
-    """Blocks eligible for the scanned stack: every block except a trailing
-    `last=True` block (which drops the text-stream output path)."""
-    return cfg.num_blocks if cfg.text_loss else cfg.num_blocks - 1
+    """Blocks covered by the scanned stack: every block except a trailing
+    `last=True` block (which drops the text-stream output path); under
+    pair scan (attn_type="both") additionally rounded down to even — any
+    leftover block stays unrolled."""
+    n = cfg.num_blocks if cfg.text_loss else cfg.num_blocks - 1
+    if scan_pair(cfg):
+        n -= n % 2
+    return n
 
 
 class MMDiT(nn.Module):
@@ -211,8 +247,9 @@ class MMDiT(nn.Module):
     # compiles ~19x faster, and the parameter tree collapses from ~700 to
     # ~90 leaves (the per-leaf optimizer dispatch measured 128 ms/step on
     # the 1.2B model). Checkpoints stay in the canonical per-block layout
-    # (to_scan_params/from_scan_params at the I/O boundary). Not supported
-    # with attn_type="both" (needs a static per-layer branch).
+    # (to_scan_params/from_scan_params at the I/O boundary). attn_type=
+    # "both" (alternating layer parity) scans two blocks per iteration
+    # (_ScanBody.pair).
     scan_blocks: bool = False
 
     @nn.compact
@@ -257,14 +294,24 @@ class MMDiT(nn.Module):
                         (1,), jnp.float32)
         s2 = self.param("learnable_scalar2", nn.initializers.constant(0.01),
                         (1,), jnp.float32)
+        # The (B, T, text_hidden) pre-net tensors are a few KB; replicating
+        # them (like the pooled path above) is the sharding fixed point —
+        # under the scan_blocks layout GSPMD otherwise flip-flops them
+        # between batch- and contraction-sharded around the c_proj dots
+        # ("Involuntary full rematerialization"). c_tok re-enters the
+        # batch-sharded world right after.
         thd = cfg.text_hidden_dim
-        c1 = RMSNorm(thd, name="pre_c_norm")(c[:, :tt].astype(dtype))
-        c2 = RMSNorm(thd, name="pre_c_norm2")(c[:, tt:].astype(dtype))
+        c1 = RMSNorm(thd, name="pre_c_norm")(
+            constrain_replicated(c[:, :tt].astype(dtype)))
+        c2 = RMSNorm(thd, name="pre_c_norm2")(
+            constrain_replicated(c[:, tt:].astype(dtype)))
         c1 = nn.Dense(cfg.dim, use_bias=False, name="c_proj", dtype=dtype,
-                      param_dtype=jnp.float32)(s1.astype(dtype) * c1)
+                      param_dtype=jnp.float32)(
+                          constrain_replicated(s1.astype(dtype) * c1))
         c2 = nn.Dense(cfg.dim, use_bias=False, name="c_proj2", dtype=dtype,
-                      param_dtype=jnp.float32)(s2.astype(dtype) * c2)
-        c_tok = jnp.concatenate([c1, c2], axis=1)
+                      param_dtype=jnp.float32)(
+                          constrain_replicated(s2.astype(dtype) * c2))
+        c_tok = constrain_batch(jnp.concatenate([c1, c2], axis=1))
 
         # Patchify + embed.
         x = constrain_batch(PatchEmbed(
@@ -273,8 +320,9 @@ class MMDiT(nn.Module):
             pos_embed_max_size=cfg.pos_embed_max_size,
             base_size=cfg.pos_embed_base_size, dtype=dtype,
             name="pos_enc")(x_t.astype(dtype)))
-        x = nn.Dense(cfg.dim, use_bias=True, name="patch_emb", dtype=dtype,
-                     param_dtype=jnp.float32)(x)
+        x = constrain_batch(
+            nn.Dense(cfg.dim, use_bias=True, name="patch_emb", dtype=dtype,
+                     param_dtype=jnp.float32)(x))
 
         hw = (h // cfg.patch_size, w // cfg.patch_size)
         block_cls = DualStreamBlock
@@ -291,18 +339,17 @@ class MMDiT(nn.Module):
             block_cls = nn.remat(DualStreamBlock, static_argnums=(4,),
                                  prevent_cse=False, policy=policy)
         start = 0
-        if self.scan_blocks:
-            assert cfg.attn_type != "both", \
-                "scan_blocks needs identical blocks (attn_type='both' " \
-                "alternates by layer parity) — use scan_blocks=False"
+        if self.scan_blocks and num_scan_blocks(cfg) > 0:
             start = num_scan_blocks(cfg)
+            pair = scan_pair(cfg)
             scanned = nn.scan(
                 _ScanBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=nn.broadcast,
-                length=start,
-            )(cfg, self.fused_attn, hw, block_cls, name="blocks_stack")
+                length=start // 2 if pair else start,
+            )(cfg, self.fused_attn, hw, block_cls, pair,
+              name="blocks_stack")
             (x, c_tok), _ = scanned((x, c_tok), y)
         for i in range(start, cfg.num_blocks):
             last = (i == cfg.num_blocks - 1) and not cfg.text_loss

@@ -160,7 +160,13 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     # loop, amortized over q blocks). softmax(s) == exp2(s - B) /
     # sum(exp2(s - B)) for ANY per-row B, so using the bound instead of the
     # true max is exact up to rounding; with B >= max(s), exp2 never
-    # overflows and pb <= 1. This deletes the full (bq, m) max-reduce VPU
+    # overflows and pb <= 1 — up to bf16 rounding: the bound is computed
+    # from fp32 prep values while the score dot runs on bf16-cast operands,
+    # so rounding can push s a hair above B and pb marginally above 1.
+    # Harmless here (no overflow, the softmax ratio stays exact); do NOT
+    # build anything on a strict pb <= 1 (e.g. fixed-point pb quantization)
+    # without adding a static margin to the shift first.
+    # This deletes the full (bq, m) max-reduce VPU
     # pass per sub-head — the shifted exp2 costs what the (s - m) exp2 cost.
     # Bound slack only shifts pb's exponent down (<= ~2*log2-score-range
     # ~ 25 bits, harmless in fp32). Measured at the 1178-token 512px shape:
@@ -507,8 +513,12 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
         # a ~5MB stack budget next to the double-buffered inputs (measured:
         # a 6-chunk unroll at bq 640 x bk 256 = 7.5MB of tiles pushed the
         # whole kernel to 16.69M scoped — just over the 16M limit).
-        # SD3_FLASH_UNROLL overrides (0 = fully unrolled).
-        u_env = os.environ.get("SD3_FLASH_UNROLL", "")
+        # SD3_FUSED_UNROLL overrides (0 = fully unrolled). Deliberately a
+        # DIFFERENT knob from flash_attention.py's SD3_FLASH_UNROLL: this
+        # one tunes the serving/streaming kernel, that one the training
+        # fwd/bwd kernels — a serving tune must not reshape training
+        # geometry (ADVICE r4).
+        u_env = os.environ.get("SD3_FUSED_UNROLL", "")
         if u_env:
             unroll = int(u_env)
         else:
@@ -608,6 +618,13 @@ def _fused_core_fwd(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
 
 
 def _fused_core_bwd(scale, eps_q, eps_k, num_heads, int8_qk, res, g):
+    # int8_qk is serving-only: the VJP below differentiates the FLOAT
+    # composition, which would silently mismatch an int8 forward if a
+    # quant='int8' config were ever trained/fine-tuned (ADVICE r4).
+    if int8_qk:
+        raise NotImplementedError(
+            "fused attention int8_qk is inference-only: its VJP would be "
+            "that of the float composition — train with int8_qk=False")
     q, k, v, cosq, sinq, cosk, sink = res
     f = functools.partial(_composition, scale=scale, eps_q=eps_q,
                           eps_k=eps_k, num_heads=num_heads)

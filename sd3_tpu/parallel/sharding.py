@@ -44,6 +44,17 @@ _RULES: list[tuple[str, P]] = [
 def _spec_for(path: str, shape: tuple[int, ...], mesh: Mesh) -> P:
     for pat, spec in _RULES:
         if re.fullmatch(pat, path):
+            if "blocks_stack/" in path:
+                # scan-over-blocks stacked layout (models/mmdit.py
+                # to_scan_params): every leaf gains a leading num_blocks
+                # stack axis; keep it unsharded and shift the per-leaf spec
+                # right by one, so the per-layer slices carry the same
+                # tp/fsdp layout the unrolled blocks get. (Sharding the
+                # stack axis itself would ZeRO-partition by layer — worse:
+                # lax.scan would all-gather a full block per iteration on
+                # the critical path instead of overlapping per-leaf
+                # gathers.)
+                spec = P(None, *spec)
             return _shrink_to_fit(spec, shape, mesh)
     return P()
 

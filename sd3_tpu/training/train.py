@@ -34,6 +34,10 @@ def build_argparser():
     p.add_argument("--use_lr_scheduler", action="store_true")
     p.add_argument("--ema_update_freq", type=int, default=100)
     p.add_argument("--ema_decay", type=float, default=0.99)
+    p.add_argument("--ema_on_host", action="store_true",
+                   help="keep the fp32 EMA replica in host RAM (frees ~5GB "
+                        "HBM at 1.2B; reference CPU-EMA design). Single-"
+                        "process only.")
     p.add_argument("--null_prob_pooled", type=float, default=0.1)
     p.add_argument("--null_prob_gemma", type=float, default=0.316)
     p.add_argument("--null_prob_bert", type=float, default=0.316)
@@ -160,6 +164,7 @@ def main(argv=None):
         lr=args.lr, warmup_steps=args.warmup_steps,
         use_lr_scheduler=args.use_lr_scheduler,
         ema_update_freq=args.ema_update_freq, ema_decay=args.ema_decay,
+        ema_on_host=args.ema_on_host,
         null_prob_pooled=args.null_prob_pooled,
         null_prob_gemma=args.null_prob_gemma,
         null_prob_bert=args.null_prob_bert,
@@ -206,8 +211,12 @@ def main(argv=None):
                                 args.bucket_indices_path,
                                 stub=args.stub_encoders,
                                 weights_dir=args.encoder_weights,
-                                ring_workers=0 if n_proc > 1
-                                else args.ring_workers,
+                                # ring loader is multi-host-safe: workers
+                                # share the sampler stream (stride-split)
+                                # and the parent reorders by sequence, so
+                                # the shared-bucket_seed shape contract
+                                # holds (data/ringbuffer.py RingDataLoader)
+                                ring_workers=args.ring_workers,
                                 seed=local_seed,
                                 num_threads=args.data_threads,
                                 # multi-host: shared bucket_seed -> same

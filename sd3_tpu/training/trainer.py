@@ -52,6 +52,12 @@ class TrainConfig:
     ema_update_freq: int = 100
     ema_decay: float = 0.99
     track_ema: bool = True     # False skips the fp32 EMA replica entirely
+    # Keep the fp32 EMA replica in HOST RAM instead of HBM (the reference's
+    # actual design: CPU EMA, model_trainer.py:256-257,537-541). Frees
+    # ~5GB at 1.2B — the margin that capped split-acc micro batches at 512px.
+    # Hot-path cost: one parallel D2H fetch of the params every
+    # ema_update_freq steps (the numpy combine runs in a background thread).
+    ema_on_host: bool = False
     null_prob_pooled: float = 0.1
     null_prob_gemma: float = 0.316
     null_prob_bert: float = 0.316
@@ -432,15 +438,18 @@ class Trainer:
         # torch import, checkpoints); the scan model consumes the stacked
         # layout internally.
         self._num_scan = 0
+        self._scan_pair = False
         if tcfg.scan_blocks:
-            from sd3_tpu.models.mmdit import num_scan_blocks, to_scan_params
-            assert self.mesh.size == 1, \
-                "scan_blocks: GSPMD sharding rules cover the canonical " \
-                "per-block layout only (single device for now)"
+            from sd3_tpu.models.mmdit import (num_scan_blocks, scan_pair,
+                                              to_scan_params)
             self._num_scan = num_scan_blocks(cfg)
-            params = to_scan_params(params, self._num_scan)
-            if ema is not None:
-                ema = to_scan_params(ema, self._num_scan)
+            self._scan_pair = scan_pair(cfg)
+            if self._num_scan:
+                params = to_scan_params(params, self._num_scan,
+                                        self._scan_pair)
+                if ema is not None:
+                    ema = to_scan_params(ema, self._num_scan,
+                                         self._scan_pair)
 
         self.param_shardings = param_sharding_rules(params, self.mesh)
         self._params = jax.tree_util.tree_map(jax.device_put, params,
@@ -449,10 +458,20 @@ class Trainer:
         # buffers, which the donating train step then deletes out from
         # under the EMA
         self.ema = None
+        self._ema_host = None
+        self._ema_thread = None
         if tcfg.track_ema:
-            self.ema = jax.tree_util.tree_map(
-                lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
-                ema if ema is not None else self._params)
+            init_tree = ema if ema is not None else self._params
+            if tcfg.ema_on_host:
+                assert jax.process_count() == 1, \
+                    "ema_on_host: sharded leaves are not host-addressable " \
+                    "across processes — use the device EMA under multihost"
+                self._ema_host = jax.tree_util.tree_map(
+                    lambda p: np.array(p, dtype=np.float32), init_tree)
+            else:
+                self.ema = jax.tree_util.tree_map(
+                    lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+                    init_tree)
 
         if tcfg.fused_optimizer or tcfg.moments_8bit:
             assert tcfg.low_mem_optimizer, \
@@ -521,13 +540,13 @@ class Trainer:
     def _to_canonical(self, tree):
         if self._num_scan:
             from sd3_tpu.models.mmdit import from_scan_params
-            return from_scan_params(tree, self._num_scan)
+            return from_scan_params(tree, self._num_scan, self._scan_pair)
         return tree
 
     def _from_canonical(self, tree):
         if self._num_scan:
             from sd3_tpu.models.mmdit import to_scan_params
-            return to_scan_params(tree, self._num_scan)
+            return to_scan_params(tree, self._num_scan, self._scan_pair)
         return tree
 
     @property
@@ -595,10 +614,43 @@ class Trainer:
                 self._params, self.opt_state, metrics = self._train_step(
                     self._params, self.opt_state, key, batch)
         self.step += 1
-        if self.ema is not None and self.step % self.tcfg.ema_update_freq == 0:
-            with self.mesh:
-                self.ema = self._ema_step(self.ema, self._params)
+        if self.step % self.tcfg.ema_update_freq == 0:
+            if self._ema_host is not None:
+                self._ema_host_update()
+            elif self.ema is not None:
+                with self.mesh:
+                    self.ema = self._ema_step(self.ema, self._params)
         return metrics
+
+    def _ema_host_update(self):
+        """Host-RAM EMA (reference CPU EMA, model_trainer.py:256-257,
+        537-541): one parallel D2H fetch of the fp32 masters on the train
+        thread (copy_to_host_async on every leaf first, so the transfers
+        batch; the leaves must be materialized BEFORE the next train_step
+        donates them), then the O(params) numpy combine runs in a background
+        thread — joined lazily at the next update or at save()."""
+        self._ema_join()
+        leaves, treedef = jax.tree_util.tree_flatten(self._params)
+        for leaf in leaves:
+            leaf.copy_to_host_async()
+        fresh = [np.asarray(leaf).astype(np.float32, copy=False)
+                 for leaf in leaves]
+        decay = self.tcfg.ema_decay
+
+        def combine():
+            new = jax.tree_util.tree_unflatten(treedef, fresh)
+            self._ema_host = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p,
+                self._ema_host, new)
+
+        import threading
+        self._ema_thread = threading.Thread(target=combine, daemon=True)
+        self._ema_thread.start()
+
+    def _ema_join(self):
+        if self._ema_thread is not None:
+            self._ema_thread.join()
+            self._ema_thread = None
 
     def _split_train_step(self, key, batch: dict) -> dict:
         """Python-loop accumulation (make_split_micro_fns): all dispatches
@@ -691,14 +743,17 @@ class Trainer:
             # and bf16/optax trainers resume from each other's artifacts
             with self.mesh:
                 opt = jax.jit(dequantize_8bit)(opt, self._params)
+        self._ema_join()
+        ema_tree = self._ema_host if self._ema_host is not None else self.ema
         if self._num_scan:
             params = self._to_canonical(self._params)
-            ema = self._to_canonical(self.ema) if self.ema is not None else None
+            ema = (self._to_canonical(ema_tree)
+                   if ema_tree is not None else None)
             if isinstance(opt, AdamWLowMemState):
                 opt = AdamWLowMemState(opt.count, self._to_canonical(opt.mu),
                                        self._to_canonical(opt.nu))
         else:
-            params, ema = self._params, self.ema
+            params, ema = self._params, ema_tree
         if jax.process_count() > 1:
             # fsdp-sharded leaves are not host-addressable across processes:
             # gather to replicated, then only the main process writes

@@ -18,7 +18,12 @@ author as the JAX build. With this shim the literal reference diff_model
 (fp32, attn_type="softmax", CPU) is the ground truth.
 
 The reference tree is read-only and UNTRUSTED content: we import its code to
-execute its math, nothing else.
+execute its math, nothing else. Risk posture (ADVICE r4): the import is
+pinned to `src.models.diff_model` alone (no package-wide import, no helpers/
+data modules, which are the ones that touch network/filesystem), the module
+was content-reviewed before this shim was written, and the zero-egress test
+environment has no network to exfiltrate to. If this suite is ever run
+outside that sandbox, move `load_reference()` callers into a subprocess.
 """
 
 from __future__ import annotations

@@ -173,3 +173,34 @@ def test_bucket_seed_shared_items_disjoint():
     assert [k for k, _ in seq_a] == [k for k, _ in seq_b]
     assert {k for k, _ in seq_a} != {seq_a[0][0]}  # multiple buckets drawn
     assert any(sa != sb for (_, sa), (_, sb) in zip(seq_a, seq_b))
+
+
+def test_strided_loaders_reproduce_single_stream(tiny_parquet):
+    """Ring-worker striding (HostDataLoader stride/stride_offset): two
+    loaders on the same sampler stream, each decoding its residue class,
+    jointly reproduce EXACTLY the single loader's global sequence — batch
+    content byte-identical, global seq tags interleaving 0,1,2,..."""
+    def collect(stride, offset, n):
+        ds = ParquetImageText(tiny_parquet)
+        loader = HostDataLoader(ds, batch_size=4, seed=5, prefetch=4,
+                                num_threads=1, first_n_largest=1,
+                                bucket_seed=13, stride=stride,
+                                stride_offset=offset)
+        try:
+            return [next(loader) for _ in range(n)]
+        finally:
+            loader.close()
+
+    single = collect(1, 0, 6)
+    even = collect(2, 0, 3)
+    odd = collect(2, 1, 3)
+    assert [b["seq"] for b in single] == list(range(6))
+    assert [b["seq"] for b in even] == [0, 2, 4]
+    assert [b["seq"] for b in odd] == [1, 3, 5]
+    merged = [None] * 6
+    for b in even + odd:
+        merged[b["seq"]] = b
+    for want, got in zip(single, merged):
+        assert want["bucket"] == got["bucket"]
+        assert want["caption"] == got["caption"]
+        np.testing.assert_array_equal(want["image"], got["image"])

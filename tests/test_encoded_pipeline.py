@@ -161,6 +161,29 @@ def test_ring_data_loader(parquet_dir):
         loader.close()
 
 
+def test_ring_data_loader_multiworker_matches_host_loader(parquet_dir):
+    """Multi-worker ring path is order-deterministic: 2 stride-split worker
+    PROCESSES + seq reordering emit the byte-identical stream of the
+    in-process HostDataLoader — the property that makes ring_workers legal
+    under multi-host (same shapes every step given a shared bucket_seed)."""
+    from sd3_tpu.data.pipeline import ParquetImageText, HostDataLoader
+    from sd3_tpu.data.ringbuffer import RingDataLoader
+
+    host = HostDataLoader(ParquetImageText(parquet_dir), batch_size=4,
+                          seed=9, num_threads=1, bucket_seed=21)
+    ring = RingDataLoader(parquet_dir, batch_size=4, num_workers=2,
+                          slot_mb=8, num_slots=4, seed=9, bucket_seed=21)
+    try:
+        for _ in range(5):
+            want, got = next(host), next(ring)
+            assert want["bucket"] == got["bucket"]
+            assert want["caption"] == got["caption"]
+            np.testing.assert_array_equal(want["image"], got["image"])
+    finally:
+        host.close()
+        ring.close()
+
+
 def test_two_shard_iters_same_shapes_threads(tmp_path):
     """Multihost input contract at the pipeline level: two shards sharing a
     bucket_seed, each decoding with 3 threads, emit IDENTICAL per-step batch

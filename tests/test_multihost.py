@@ -68,3 +68,78 @@ def test_two_process_train(tmp_path):
     with open(os.path.join(save, metrics[0])) as f:
         recs = [json.loads(l) for l in f]
     assert recs and all(abs(r["loss"]) < 1e6 for r in recs)
+
+
+CHILD_DATA = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from sd3_tpu.training import train
+pid, port, save, pq_dir = sys.argv[1:5]
+train.main([
+    "--multihost", "--coordinator_address", f"localhost:{port}",
+    "--num_processes", "2", "--process_id", pid,
+    "--preset", "tiny",
+    "--data_parquet_folder", pq_dir, "--stub_encoders",
+    "--data_threads", "2", "--prefetch_batches", "1",
+    "--batchSize", "8", "--accumulation_steps", "2", "--totalSteps", "3",
+    "--numSaveSteps", "1000000", "--warmup_steps", "1", "--log_steps", "1",
+    "--ema_update_freq", "2", "--saveDir", save, "--seed", "5",
+    "--dp", "2", "--fsdp", "2", "--tp", "2",
+])
+print(f"MULTIHOST_DATA_OK_{pid}")
+"""
+
+
+def test_two_process_train_real_data(tmp_path):
+    """The multi-host REAL-data contract end-to-end (VERDICT r4 #7): two
+    jax.distributed processes run encoded_batch_iter (parquet + stub
+    encoders + prefetch) with a shared bucket_seed and per-process
+    shard_index — every step's global batch assembles from two host-local
+    halves with identical shapes (anything else deadlocks SPMD and the test
+    times out)."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from PIL import Image
+
+    def png(h, w, v):
+        buf = io.BytesIO()
+        Image.fromarray(np.full((h, w, 3), v, np.uint8)).save(buf, "PNG")
+        return buf.getvalue()
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    rows = []
+    for i in range(48):
+        h, w = (16, 16) if i % 2 else (32, 16)
+        rows.append({"image": png(h, w, 5 * (i % 40)),
+                     "recaption": f"caption {i}", "recaption_short": f"c{i}",
+                     "bucket_size": f"{h}x{w}"})
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "p.parquet"))
+
+    port = _free_port()
+    save = str(tmp_path / "mh_data_ckpt")
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=4")
+    env["XLA_FLAGS"] = " ".join(flags)
+
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD_DATA, str(i), str(port), save, str(d)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out}"
+        assert f"MULTIHOST_DATA_OK_{i}" in out, out
+
+    assert os.path.exists(os.path.join(save, "model_3s.msgpack")), outs[0]
+    metrics = [f for f in os.listdir(save) if f.startswith("metrics_")]
+    assert metrics
+    with open(os.path.join(save, metrics[0])) as f:
+        recs = [json.loads(l) for l in f]
+    assert recs and all(abs(r["loss"]) < 1e6 for r in recs)

@@ -130,12 +130,55 @@ def test_scan_fused_trainer_learns_and_checkpoints(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_scan_rejects_attn_both():
-    cfg = tiny_config(attn_type="both")
-    model = MMDiT(cfg, remat_blocks=False, scan_blocks=True)
-    x, t, c, cp = _inputs(cfg, b=1)
-    with pytest.raises(AssertionError):
-        model.init(jax.random.PRNGKey(0), x, t, c, cp)
+def test_scan_pair_roundtrip_attn_both():
+    """attn_type="both" stacks even/odd blocks separately (pair scan)."""
+    from sd3_tpu.models.mmdit import scan_pair
+
+    cfg = tiny_config(attn_type="both", num_blocks=4)
+    assert scan_pair(cfg)
+    _, params = init_mmdit(cfg, jax.random.PRNGKey(0))
+    n = num_scan_blocks(cfg)
+    assert n % 2 == 0
+    stacked = to_scan_params(params, n, pair=True)
+    assert set(stacked["blocks_stack"]) == {"block", "block_odd"}
+    back = from_scan_params(stacked, n, pair=True)
+    for (ka, a), (kb, b) in zip(
+            _sorted_leaves(params), _sorted_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_pair_forward_matches_unrolled():
+    """Pair scan (attn_type="both") must reproduce the unrolled model's
+    alternating softmax/cosine layer-parity pattern exactly."""
+    cfg = tiny_config(attn_type="both", num_blocks=4)
+    model_u, params = init_mmdit(cfg, jax.random.PRNGKey(0),
+                                 remat_blocks=False)
+    model_s = MMDiT(cfg, remat_blocks=False, scan_blocks=True)
+    x, t, c, cp = _inputs(cfg)
+    want = model_u.apply({"params": params}, x, t, c, cp)
+    got = model_s.apply(
+        {"params": to_scan_params(params, num_scan_blocks(cfg), pair=True)},
+        x, t, c, cp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_scan_pair_trainer_matches_unrolled(tmp_path):
+    cfg = tiny_config(attn_type="both", num_blocks=4)
+    tr_u = _mk(tmp_path / "u", cfg, low_mem_optimizer=True,
+               accumulation_steps=1)
+    tr_s = _mk(tmp_path / "s", cfg, low_mem_optimizer=True,
+               accumulation_steps=1, scan_blocks=True)
+    it = synthetic_batch_iter(cfg, 4, 1, 16, 16)
+    batch = tr_u.shard_batch(next(it))
+    for _ in range(3):
+        lu = float(tr_u.train_step(batch)["loss"])
+        ls = float(tr_s.train_step(batch)["loss"])
+        np.testing.assert_allclose(ls, lu, rtol=1e-5)
+    for (ka, x), (kb, y) in zip(_sorted_leaves(tr_u.params),
+                                _sorted_leaves(tr_s.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-4, atol=5e-5, err_msg=str(ka))
 
 
 def test_scan_m8_acc2_combo_learns(tmp_path):

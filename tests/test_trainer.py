@@ -128,8 +128,9 @@ def test_flow_primitives():
 
 
 def _mk_trainer(tmp, cfg, **kw):
+    kw.setdefault("ema_update_freq", 10**9)
     tcfg = TrainConfig(batch_size=4, total_steps=10**9, warmup_steps=2,
-                       ema_update_freq=10**9, log_steps=10**9,
+                       log_steps=10**9,
                        num_save_steps=10**9, lr=1e-3, seed=0,
                        save_dir=str(tmp), **kw)
     return Trainer(cfg, tcfg, use_wandb=False, log_dir=str(tmp))
@@ -298,3 +299,30 @@ def test_split_accumulation_matches_monolithic(tmp_path):
         # on near-zero second moments: rare single-element ~1e-3 outliers
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_ema_on_host_matches_device_ema(tmp_path):
+    """TrainConfig.ema_on_host (reference CPU EMA, model_trainer.py:256-257,
+    537-541) must produce the same EMA as the on-device fp32 replica, and
+    save it into the same model_ema artifact."""
+    import os
+
+    cfg = tiny_config()
+    dev = _mk_trainer(tmp_path / "dev", cfg, low_mem_optimizer=True,
+                      accumulation_steps=1, track_ema=True, ema_update_freq=2)
+    host = _mk_trainer(tmp_path / "host", cfg, low_mem_optimizer=True,
+                       accumulation_steps=1, track_ema=True,
+                       ema_update_freq=2, ema_on_host=True)
+    assert host.ema is None and host._ema_host is not None
+    it = synthetic_batch_iter(cfg, 4, 1, 16, 16)
+    batch = dev.shard_batch(next(it))
+    for _ in range(4):
+        dev.train_step(batch)
+        host.train_step(batch)
+    host._ema_join()
+    jax.tree_util.tree_map(
+        lambda e_dev, e_host: np.testing.assert_allclose(
+            np.asarray(e_dev), np.asarray(e_host), rtol=1e-6, atol=1e-7),
+        dev.ema, host._ema_host)
+    host.save()
+    assert os.path.exists(str(tmp_path / "host" / "model_ema_4s.msgpack"))
