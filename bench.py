@@ -224,6 +224,8 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--groups", type=int, default=4,
+                   help="timed pipelined groups (>=4; median reported)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--attn", default="softmax_flash",
                    choices=["softmax", "softmax_flash"])
