@@ -316,10 +316,20 @@ class JointAttention(nn.Module):
         seq = n + m
         int8_qk = (self._int8_ok(("attn_qk",))
                    and 1024 <= -(-seq // 128) * 128 <= 2048)
+        # int8 P·V: the second attention matmul on the s8 MXU path. P
+        # quantizes for free (log2(127) folded into the softmax shift —
+        # round+clip replaces the bf16 cast) and V's per-column quant is one
+        # amortized prep pass (single-KV) / one XLA pass that also halves
+        # V's HBM traffic (streaming), so unlike int8 QK^T there is no
+        # per-tile dequant VPU cost — the only trade is forfeiting the
+        # bounded-softmax max-pass saving on the bf16 single-KV path.
+        # Opt out per-layer with quant_skip=("attn_pv",). Drift-gated with
+        # scripts/int8_drift.py like attn_qk.
+        int8_pv = self._int8_ok(("attn_pv",))
         out = fused_dual_flash_attention(
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
             self.num_heads, w_q_img, w_q_txt, w_k_img, w_k_txt,
-            angles, n, scale, int8_qk=int8_qk)
+            angles, n, scale, int8_qk=int8_qk, int8_pv=int8_pv)
 
         if tail is None:
             out_x = self._dense(self.dim, "out_proj_x")(out[:, :n])

@@ -61,6 +61,10 @@ from sd3_tpu.ops.flash_attention import (_cdiv, _round_up, _dot, _kv_mask,
                                          NEG_INF)
 
 LOG2E = 1.4426950408889634  # log2(e): the kernel's softmax runs in exp2
+LOG2_127 = 6.988684686772166  # log2(127): folds the int8 P quantization
+# scale into the softmax shift — exp2(s - max + log2(127)) emits the row's
+# probabilities already in [0, 127], so quantizing P costs one round+clip
+# where the bf16 cast used to be, and the /127 cancels in acc/l.
 
 
 def _pack_factor(head_dim: int) -> int:
@@ -130,7 +134,7 @@ def _dot_i8(a, b, trans_b=False):
 
 def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                       o_ref, *scratch, block_k, kv_len, p, hd,
-                      eps_q, eps_k, interpret, int8_qk):
+                      eps_q, eps_k, interpret, int8_qk, int8_pv):
     # Single-KV-block kernel (the 256/512px shapes: whole K fits one block).
     #
     # The softmax scale AND log2(e) are folded into the q-side tables by the
@@ -174,8 +178,22 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     # dequantized scores can exceed the fp bound by quantization error (a
     # margin would cover it, but measured int8 bounded was no faster —
     # 0.847 vs 0.835 ms — so exactness wins).
+    # int8_pv: the P·V contraction runs s8xs8->s32 too. P quantizes for free
+    # (LOG2_127 folded into the max shift; round+clip replaces the bf16
+    # cast); V quantizes once per head-group in the prep phase with
+    # per-column scales, dequantized by one (bq, P) multiply on the final
+    # output. Requires the TRUE max pass (bound slack would shift pb's
+    # exponent below the 1/127 quantization floor), so the bf16 bounded
+    # softmax and int8_pv are mutually exclusive per config. Inference-only,
+    # like int8_qk.
+    scratch = list(scratch)
+    if int8_pv:
+        vq_ref = scratch.pop()
+        vsc_ref = scratch.pop()
     if int8_qk:
         kprep_ref, kq_ref, kscale_ref = scratch
+    elif int8_pv:
+        (kprep_ref,) = scratch
     else:
         kprep_ref, kn_ref = scratch
     bq = q_ref.shape[1]
@@ -189,6 +207,8 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     assert m_len == block_k, "multi-KV-block shapes use _stream_fwd_kernel"
     chunk = next(c for c in (1024, 512, 256, 128) if m_len % c == 0)
 
+    use_bound = not (int8_qk or int8_pv)  # bf16 bounded softmax (see header)
+
     @pl.when(pl.program_id(1) == 0)
     def _prep_k():
         kn2 = [jnp.float32(0) for _ in range(p)]
@@ -197,14 +217,32 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
             kh_c = _prep(k_ref[0, rows, :], ck_ref[rows, :], sk_ref[rows, :],
                          eps_k, p, hd, interpret)
             kprep_ref[rows, :] = kh_c.astype(dt)
-            if not int8_qk:
+            if use_bound:
                 for t in range(p):
                     sq_c = kh_c[:, t * hd:(t + 1) * hd]
                     kn2[t] = jnp.maximum(
                         kn2[t], jnp.max(jnp.sum(sq_c * sq_c, axis=-1)))
-        if not int8_qk:
+        if use_bound:
             for t in range(p):
                 kn_ref[t] = jnp.sqrt(kn2[t])
+        if int8_pv:
+            # per-column V scales (amax over all rows; pad rows are zero),
+            # then quantize V into the int8 scratch — both chunked, both
+            # amortized over every q block of the head group.
+            Pw = kprep_ref.shape[-1]
+            vmax = jnp.zeros((1, Pw), jnp.float32)
+            for j0 in range(m_len // chunk):
+                rows = pl.ds(j0 * chunk, chunk)
+                vf = v_ref[0, rows, :].astype(jnp.float32)
+                vmax = jnp.maximum(
+                    vmax, jnp.max(jnp.abs(vf), axis=0, keepdims=True))
+            vsc = jnp.maximum(vmax, 1e-12) / 127.0
+            vsc_ref[0:1, :] = vsc
+            for j0 in range(m_len // chunk):
+                rows = pl.ds(j0 * chunk, chunk)
+                vf = v_ref[0, rows, :].astype(jnp.float32)
+                vq_ref[rows, :] = jnp.clip(
+                    jnp.round(vf / vsc), -127, 127).astype(jnp.int8)
         if int8_qk:
             # per-sub-head whole-K scale, then quantize from the stored
             # bf16 prep (second pass; chunked like the first)
@@ -230,7 +268,7 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     # single-KV-block fast path: bf16 uses the bounded softmax (see header
     # note, B_row = ||q_hat_row|| * kn[t] from the prep phase); int8 keeps
     # the exact max pass.
-    v = v_ref[0]
+    v = None if int8_pv else v_ref[0]
     mask = _kv_mask(0, block_k, kv_len, bq)
     outs = []
     for t in range(p):
@@ -241,6 +279,14 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
             if mask is not None:
                 s = s + mask
             shift = jnp.max(s, axis=-1, keepdims=True)
+        elif int8_pv:
+            # int8_pv without int8_qk: float scores but a TRUE max shift
+            # (the Cauchy-Schwarz bound's slack would sink pb below the
+            # 1/127 quantization floor).
+            s = _dot(qh[:, sl], kprep_ref[:, sl], trans_b=True)
+            if mask is not None:
+                s = s + mask
+            shift = jnp.max(s, axis=-1, keepdims=True)
         else:
             qs_f = qh_f[:, sl]
             shift = jnp.sqrt(jnp.sum(qs_f * qs_f, axis=-1, keepdims=True)) \
@@ -248,15 +294,24 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
             s = _dot(qh[:, sl], kprep_ref[:, sl], trans_b=True)
             if mask is not None:
                 s = s + mask
-        pb = jnp.exp2(s - shift)
-        l = jnp.sum(pb, axis=-1, keepdims=True)
-        outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(dt)
+        if int8_pv:
+            pb = jnp.exp2(s - (shift - LOG2_127))   # row probs in [0, 127]
+            l = jnp.sum(pb, axis=-1, keepdims=True)
+            pq = jnp.clip(jnp.round(pb), 0, 127).astype(jnp.int8)
+            outs.append(_dot_i8(pq, vq_ref[:, sl]).astype(jnp.float32) / l)
+        else:
+            pb = jnp.exp2(s - shift)
+            l = jnp.sum(pb, axis=-1, keepdims=True)
+            outs.append(_dot(pb.astype(dt), v[:, sl]) / l)
+    o = jnp.concatenate(outs, axis=-1)
+    if int8_pv:
+        o = o * vsc_ref[0:1, :]
+    o_ref[0] = o.astype(dt)
 
 
 def _stream_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, *rest,
                        block_k, kv_len, p, hd, eps_q, eps_k, interpret,
-                       int8_qk, unroll):
+                       int8_qk, int8_pv, unroll):
     # Streaming (multi-KV-block) kernel for 2k+ token joint sequences (the
     # 1024px stage).
     #
@@ -287,13 +342,25 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, *rest,
     # with a free static bound — the VPU overlaps here; the critical path is
     # MXU + per-cell overheads). Bounded softmax only pays on the single-KV
     # kernel (-13%).
+    # int8_pv: V arrives PRE-QUANTIZED (int8, per-column scales via one XLA
+    # pass — also halves V's HBM traffic); P quantizes in-kernel for free by
+    # folding LOG2_127 into the online-softmax shift (the running max is the
+    # true max, so pb <= 127 exactly); dequant is one (bq, P) multiply on
+    # the final normalized output. The 127x factor rides both ls and accs
+    # and cancels in accs/ls.
+    rest = list(rest)
     if int8_qk:
-        ksc_ref, o_ref = rest
+        ksc_ref = rest.pop(0)
         kpre_ref = k_ref
     else:
-        ck_ref, sk_ref, o_ref, kprep_ref = rest
+        ck_ref, sk_ref = rest.pop(0), rest.pop(0)
+    if int8_pv:
+        vsc_ref = rest.pop(0)
+    o_ref = rest.pop(0)
+    if not int8_qk:
+        kprep_ref = rest.pop(0)
     bq = q_ref.shape[1]
-    dt = v_ref.dtype
+    dt = q_ref.dtype
     qh_f = _prep(q_ref[0], cq_ref[...], sq_ref[...], eps_q, p, hd, interpret)
     if int8_qk:
         qi, qscales = _q8_rows(qh_f, p, hd)
@@ -336,15 +403,28 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, *rest,
             sl = slice(t * hd, (t + 1) * hd)
             s = ss[t] if mask is None else ss[t] + mask
             m_new = jnp.maximum(ms[t], jnp.max(s, axis=-1, keepdims=True))
-            pb = jnp.exp2(s - m_new)
+            if int8_pv:
+                pb = jnp.exp2(s - (m_new - LOG2_127))   # [0, 127]
+                pq = jnp.clip(jnp.round(pb), 0, 127).astype(jnp.int8)
+                pv = _dot_i8(pq, v[:, sl]).astype(jnp.float32)
+            else:
+                pb = jnp.exp2(s - m_new)
+                pv = _dot(pb.astype(dt), v[:, sl])
             alpha = jnp.exp2(ms[t] - m_new)
             ls[t] = ls[t] * alpha + jnp.sum(pb, axis=-1, keepdims=True)
-            accs[t] = accs[t] * alpha + _dot(pb.astype(dt), v[:, sl])
+            accs[t] = accs[t] * alpha + pv
             ms[t] = m_new
         return tuple(ms), tuple(ls), tuple(accs)
 
     def block_update(rows, mask, carry):
         return sm_pv(rows, qk_block(rows), mask, carry)
+
+    def finish(carry):
+        ms, ls, accs = carry
+        o = jnp.concatenate([accs[t] / ls[t] for t in range(p)], axis=-1)
+        if int8_pv:
+            o = o * vsc_ref[0, 0:1, :]
+        o_ref[0] = o.astype(dt)
 
     carry = (tuple(jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(p)),
              tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(p)),
@@ -376,9 +456,7 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, *rest,
             mask = None if j < nfull else _kv_mask(j, block_k, kv_len, bq)
             carry = sm_pv(rows_j(j), ss, mask, carry)
             ss = nxt
-        ms, ls, accs = carry
-        o_ref[0] = jnp.concatenate(
-            [accs[t] / ls[t] for t in range(p)], axis=-1).astype(dt)
+        finish(carry)
         return
     if unroll <= 0 or unroll >= nfull:
         for j in range(nfull):
@@ -399,9 +477,7 @@ def _stream_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, *rest,
     for j in range(nfull, num_kb):  # static masked tail (at most one block)
         carry = block_update(pl.ds(j * block_k, block_k),
                              _kv_mask(j, block_k, kv_len, bq), carry)
-    ms, ls, accs = carry
-    o_ref[0] = jnp.concatenate(
-        [accs[t] / ls[t] for t in range(p)], axis=-1).astype(dt)
+    finish(carry)
 
 
 def _prep_xla(x, cos, sin, eps, p, hd):
@@ -432,9 +508,19 @@ def _q8_rows_xla(kh, p, hd):
             scale.transpose(0, 2, 1))
 
 
+def _q8_cols_xla(v):
+    """Per-column int8 quantization of packed V (BG, M, P) for the streaming
+    int8 P·V path: amax over rows (pad rows are zero). Returns (int8 V,
+    (BG, 1, P) fp32 scales)."""
+    vf = v.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(vf), axis=1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-12) / 127.0
+    return jnp.clip(jnp.round(vf / sc), -127, 127).astype(jnp.int8), sc
+
+
 def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
                   num_heads, block_q_cap=DEFAULT_BLOCK_Q,
-                  single_kv_max=2048, int8_qk=False):
+                  single_kv_max=2048, int8_qk=False, int8_pv=False):
     """q,k,v: (B, N, H*D) raw projections; tables: (N, D). Joint self-attn."""
     b, n, f = q.shape
     d = f // num_heads
@@ -526,7 +612,9 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
         kernel = functools.partial(
             _stream_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
             eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk,
-            unroll=unroll)
+            int8_pv=int8_pv, unroll=unroll)
+        if int8_pv:
+            vp, vsc = _q8_cols_xla(vp)
         ins = [qp, None, vp, cq, sq]
         in_specs = [qspec, fullspec, fullspec, tabspec, tabspec]
         scratch = []
@@ -547,6 +635,10 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
             ktabspec = pl.BlockSpec((m_pad, P), lambda gi, qi: (0, 0))
             in_specs += [ktabspec, ktabspec]
             scratch.append(pltpu.VMEM((m_pad, P), q.dtype))
+        if int8_pv:
+            ins.append(vsc)
+            in_specs.append(
+                pl.BlockSpec((1, 1, P), lambda gi, qi: (gi, 0, 0)))
         out = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
             out_shape=out_shape, scratch_shapes=scratch,
@@ -554,13 +646,17 @@ def _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     else:
         kernel = functools.partial(
             _fused_fwd_kernel, block_k=block_k, kv_len=n, p=p, hd=d,
-            eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk)
+            eps_q=eps_q, eps_k=eps_k, interpret=interpret, int8_qk=int8_qk,
+            int8_pv=int8_pv)
         scratch = [pltpu.VMEM((m_pad, P), q.dtype)]
         if int8_qk:
             scratch += [pltpu.VMEM((m_pad, P), jnp.int8),
                         pltpu.SMEM((p,), jnp.float32)]
-        else:
+        elif not int8_pv:
             scratch.append(pltpu.SMEM((p,), jnp.float32))  # kn (bounded sm)
+        if int8_pv:
+            scratch += [pltpu.VMEM((8, P), jnp.float32),   # vsc (row 0)
+                        pltpu.VMEM((m_pad, P), jnp.int8)]  # vq
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -603,28 +699,28 @@ def _composition(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
     return o.transpose(0, 2, 1, 3).reshape(b, n, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused_core(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
-                num_heads, int8_qk=False):
+                num_heads, int8_qk=False, int8_pv=False):
     return _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q,
-                         eps_k, num_heads, int8_qk=int8_qk)
+                         eps_k, num_heads, int8_qk=int8_qk, int8_pv=int8_pv)
 
 
 def _fused_core_fwd(q, k, v, cosq, sinq, cosk, sink, scale, eps_q, eps_k,
-                    num_heads, int8_qk=False):
+                    num_heads, int8_qk=False, int8_pv=False):
     out = _pallas_fused(q, k, v, cosq, sinq, cosk, sink, scale, eps_q,
-                        eps_k, num_heads, int8_qk=int8_qk)
+                        eps_k, num_heads, int8_qk=int8_qk, int8_pv=int8_pv)
     return out, (q, k, v, cosq, sinq, cosk, sink)
 
 
-def _fused_core_bwd(scale, eps_q, eps_k, num_heads, int8_qk, res, g):
-    # int8_qk is serving-only: the VJP below differentiates the FLOAT
-    # composition, which would silently mismatch an int8 forward if a
+def _fused_core_bwd(scale, eps_q, eps_k, num_heads, int8_qk, int8_pv, res, g):
+    # int8_qk/int8_pv are serving-only: the VJP below differentiates the
+    # FLOAT composition, which would silently mismatch an int8 forward if a
     # quant='int8' config were ever trained/fine-tuned (ADVICE r4).
-    if int8_qk:
+    if int8_qk or int8_pv:
         raise NotImplementedError(
-            "fused attention int8_qk is inference-only: its VJP would be "
-            "that of the float composition — train with int8_qk=False")
+            "fused attention int8_qk/int8_pv are inference-only: their VJP "
+            "would be that of the float composition — train with both False")
     q, k, v, cosq, sinq, cosk, sink = res
     f = functools.partial(_composition, scale=scale, eps_q=eps_q,
                           eps_k=eps_k, num_heads=num_heads)
@@ -656,7 +752,8 @@ def fused_dual_flash_attention(q, k, v, num_heads: int,
                                w_q_img, w_q_txt, w_k_img, w_k_txt,
                                angles_img, n_img: int, scale: float,
                                use_pallas: bool = True,
-                               int8_qk: bool = False):
+                               int8_qk: bool = False,
+                               int8_pv: bool = False):
     """Joint-sequence attention with fused per-head RMSNorm + image-only RoPE.
 
     q, k, v: (B, N, num_heads*D) raw projection outputs; rows [0, n_img) are
@@ -686,4 +783,4 @@ def fused_dual_flash_attention(q, k, v, num_heads: int,
         return _composition(q, k, v, cosq, sinq, cosk, sink, scale,
                             eps_q, eps_k, num_heads)
     return _fused_core(q, k, v, cosq, sinq, cosk, sink, float(scale),
-                       eps_q, eps_k, num_heads, int8_qk)
+                       eps_q, eps_k, num_heads, int8_qk, int8_pv)

@@ -144,6 +144,44 @@ def test_fused_int8_qk_close_to_float(streaming):
     assert err < 0.02, f"int8 qk relative error {err:.4f}"
 
 
+@pytest.mark.parametrize("streaming", [False, True])
+@pytest.mark.parametrize("int8_qk", [False, True])
+def test_fused_int8_pv_close_to_float(streaming, int8_qk):
+    """int8 P·V (probabilities quantized via the folded log2(127) shift,
+    per-column V scales) tracks the float kernel to quantization error on
+    both KV paths, alone and stacked on int8 QK^T."""
+    nh, d, h, w, n_txt = 2, 16, 10, 16, 40   # n = 200
+    q, k, v, (wqi, wqt, wki, wkt), angles, n_img, scale = _case(
+        nh, d, h, w, n_txt, seed=6)
+    cos_np, sin_np = rope_row_tables(angles, q.shape[1], d)
+    row_img = (np.arange(q.shape[1]) < n_img)[:, None]
+    w_q = jnp.where(row_img, wqi[None], wqt[None]).astype(jnp.float32)
+    w_k = jnp.where(row_img, wki[None], wkt[None]).astype(jnp.float32)
+    args = (q, k, v, cos_np * w_q, sin_np * _swap_pairs(w_q),
+            cos_np * w_k, sin_np * _swap_pairs(w_k), scale,
+            float(jnp.finfo(jnp.float32).eps),
+            float(jnp.finfo(jnp.float32).eps), nh)
+    kw = dict(block_q_cap=128, single_kv_max=(128 if streaming else 2048))
+    want = _pallas_fused(*args, **kw)
+    got = _pallas_fused(*args, **kw, int8_qk=int8_qk, int8_pv=True)
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 0.03, f"int8 pv relative error {err:.4f}"
+
+
+def test_fused_int8_pv_inference_only():
+    """The int8 P·V forward has no consistent VJP — training must raise."""
+    nh, d = 2, 16
+    q, k, v, (wqi, wqt, wki, wkt), angles, n_img, scale = _case(nh, d, 2, 4, 4)
+
+    def loss(q_):
+        out = fused_dual_flash_attention(q_, k, v, nh, wqi, wqt, wki, wkt,
+                                         angles, n_img, scale, int8_pv=True)
+        return jnp.sum(out)
+
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(loss)(q)
+
+
 @pytest.mark.parametrize("bk,bqpad", [
     ("128", "0"),      # smaller k-blocks than default
     ("128", "192"),    # padded-q geometry: n=200 -> n_pad 384, bq 192
