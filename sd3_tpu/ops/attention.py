@@ -320,12 +320,20 @@ class JointAttention(nn.Module):
         # quantizes for free (log2(127) folded into the softmax shift —
         # round+clip replaces the bf16 cast) and V's per-column quant is one
         # amortized prep pass (single-KV) / one XLA pass that also halves
-        # V's HBM traffic (streaming), so unlike int8 QK^T there is no
-        # per-tile dequant VPU cost — the only trade is forfeiting the
-        # bounded-softmax max-pass saving on the bf16 single-KV path.
-        # Opt out per-layer with quant_skip=("attn_pv",). Drift-gated with
-        # scripts/int8_drift.py like attn_qk.
-        int8_pv = self._int8_ok(("attn_pv",))
+        # V's HBM traffic (streaming). Default OFF by round-5 MEASUREMENT:
+        # (a) single-KV path: a net LOSS — the 512px headline dropped
+        # 3.09 -> 2.60 img/s (16%) with it on (forfeits the bounded-softmax
+        # max-pass saving AND adds a per-element round/clip over the full
+        # (bq, kv) probability matrix on the VPU); (b) streaming path: the
+        # full 1024px model graph did not come back from the XLA compile
+        # service within 30 min (the non-pv graph compiles in minutes), so
+        # it cannot be a serving default there either. The kernel stays
+        # correct + tested (tests/test_fused_attention.py); opt in with
+        # SD3_INT8_PV=1 (streaming shapes only) for kernel-level probes
+        # (scripts/flash1024_probe.py --int8pv).
+        int8_pv = (self._int8_ok(("attn_pv",))
+                   and -(-seq // 128) * 128 > 2048
+                   and os.environ.get("SD3_INT8_PV", "") == "1")
         out = fused_dual_flash_attention(
             q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype),
             self.num_heads, w_q_img, w_q_txt, w_k_img, w_k_txt,

@@ -87,7 +87,14 @@ train.main([
     "--ema_update_freq", "2", "--saveDir", save, "--seed", "5",
     "--dp", "2", "--fsdp", "2", "--tp", "2",
 ])
-print(f"MULTIHOST_DATA_OK_{pid}")
+print(f"MULTIHOST_DATA_OK_{pid}", flush=True)
+# os._exit: skip interpreter finalization. The data path leaves daemon
+# decode/prefetch threads parked on queues; under a heavily loaded host,
+# CPython teardown can cancel one mid-C++-unwind ("FATAL: exception not
+# rethrown", SIGABRT) AFTER the training contract above fully passed.
+# The contract under test ends at the OK line.
+import os as _os
+_os._exit(0)
 """
 
 
